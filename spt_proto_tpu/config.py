@@ -1,0 +1,131 @@
+"""Model / layer configuration.
+
+One frozen dataclass drives the whole stack; the reference's staged module
+surgery (naive_gpt/utils/adapter.py: 'lora' -> 'ffn' -> 'mha_v1' -> 'mha_v2')
+becomes config deltas + param-tree transforms (see tuning/surgery.py), which
+is the idiomatic JAX equivalent of rewriting an nn.Module tree in place.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+# Attention kinds (ref naive_gpt/layers/sparse/attention.py)
+ATTN_DENSE = 'dense'          # VanillaAttention / RotaryAttention
+ATTN_SPARSE_V1 = 'sparse_v1'  # dense attention + PQ codebook warm-up aux loss
+ATTN_SPARSE_V2 = 'sparse_v2'  # PQ top-k sparse attention
+
+# FFN kinds (ref naive_gpt/layers/sparse/feedforward.py)
+FFN_DENSE = 'dense'
+FFN_ROUTED = 'routed'
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture + upgrade-stage configuration for OPT/LLaMA models."""
+    arch: str                       # 'opt' | 'llama'
+    d_model: int
+    n_heads: int
+    n_layers: int
+    max_length: int
+    vocab_size: int
+    d_feedforward: int
+    p_dropout: float = 0.0
+
+    # --- tuning / sparsity stages -----------------------------------------
+    d_lora: Optional[int] = None    # LoRA rank; None = no adapters
+    attention: str = ATTN_DENSE
+    ffn: str = FFN_DENSE
+    # PQ configuration (ref utils/adapter.py:97-98: d_codeword=8,
+    # n_codewords=16, n_subspaces=d_head//8)
+    d_codeword: int = 8
+    n_codewords: int = 16
+    sparse_coeff: int = 8           # keep S/8 scores per row
+    score_clamp: float = 10.0       # logit clamp (ref sparse/attention.py:125)
+    # routed FFN (ref adapter.py:163: block_size = d_ff//4 => 4 blocks)
+    ffn_block_size: Optional[int] = None
+    ffn_top_k: Optional[int] = None  # default: n_blocks//2
+
+    # --- numerics / implementation selection ------------------------------
+    dtype: Any = jnp.float32         # activation/compute dtype
+    param_dtype: Any = jnp.float32
+    attn_impl: str = 'ref'           # 'ref' (jnp) | 'pallas'
+    ffn_impl: str = 'masked'         # 'masked' | 'gather' | 'pallas'
+    remat: bool = False              # rematerialize blocks (training memory)
+
+    # ----------------------------------------------------------------------
+    @property
+    def d_head(self) -> int:
+        return self.d_model // self.n_heads
+
+    @property
+    def n_subspaces(self) -> int:
+        return self.d_head // self.d_codeword
+
+    @property
+    def attn_bias(self) -> bool:
+        return self.arch == 'opt'
+
+    @property
+    def ffn_gated(self) -> bool:
+        return self.arch == 'llama'
+
+    @property
+    def n_ffn_blocks(self) -> int:
+        assert self.ffn_block_size is not None
+        return self.d_feedforward // self.ffn_block_size
+
+    @property
+    def ffn_active_blocks(self) -> int:
+        if self.ffn_top_k is not None:
+            return self.ffn_top_k
+        return max(1, self.n_ffn_blocks // 2)
+
+    def replace(self, **kw) -> 'ModelConfig':
+        return dataclasses.replace(self, **kw)
+
+    def validate(self) -> None:
+        assert self.arch in ('opt', 'llama')
+        assert self.d_model % self.n_heads == 0
+        if self.attention != ATTN_DENSE:
+            assert self.d_head % self.d_codeword == 0, \
+                f'd_head {self.d_head} must divide into d_codeword ' \
+                f'{self.d_codeword} subspaces'
+        if self.ffn == FFN_ROUTED:
+            assert self.ffn_block_size is not None
+            assert self.d_feedforward % self.ffn_block_size == 0
+
+
+# Canonical model menu (ref script/1-convert.py:202-206)
+def opt_config(name: str = '125m', **kw) -> ModelConfig:
+    menu = {
+        '125m': dict(d_model=768, n_heads=12, n_layers=12, d_feedforward=3072),
+        '350m': dict(d_model=1024, n_heads=16, n_layers=24, d_feedforward=4096),
+        '1.3b': dict(d_model=2048, n_heads=32, n_layers=24, d_feedforward=8192),
+        '2.7b': dict(d_model=2560, n_heads=32, n_layers=32, d_feedforward=10240),
+    }
+    base = dict(arch='opt', max_length=2048, vocab_size=50272, **menu[name])
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def llama_config(name: str = '7b', **kw) -> ModelConfig:
+    menu = {
+        'sheared-2.7b': dict(d_model=2560, n_heads=20, n_layers=32,
+                             d_feedforward=6912),
+        '7b': dict(d_model=4096, n_heads=32, n_layers=32, d_feedforward=11008),
+        '13b': dict(d_model=5120, n_heads=40, n_layers=40, d_feedforward=13824),
+    }
+    base = dict(arch='llama', max_length=2048, vocab_size=32000, **menu[name])
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def tiny_config(arch: str = 'opt', **kw) -> ModelConfig:
+    """Small config for tests."""
+    base = dict(arch=arch, d_model=64, n_heads=4, n_layers=2, max_length=128,
+                vocab_size=256, d_feedforward=128)
+    base.update(kw)
+    return ModelConfig(**base)

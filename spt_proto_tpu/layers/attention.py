@@ -1,0 +1,124 @@
+"""Multi-head attention: dense, PQ-warm-up (v1), and PQ-sparse (v2) paths.
+
+Reference parity: naive_gpt/layers/basic/{attention,multihead}.py and
+naive_gpt/layers/sparse/attention.py. One module covers the reference's
+VanillaAttention / RotaryAttention / SparseVanillaAttentionV1/V2 /
+SparseRotaryAttentionV1/V2 six-way class hierarchy: rotary-ness comes from
+the model arch, sparseness from config.attention.
+
+The stateful `trigger`/`loss` buffers of the reference (sparse/attention.py:
+98-104) are replaced by a functional aux output: __call__ returns
+(y, pq_aux_loss); the training step decides when to arm quantizer training
+via the `train_quantizer` static flag.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from spt_proto_tpu.config import (ATTN_DENSE, ATTN_SPARSE_V1, ATTN_SPARSE_V2,
+                                  ModelConfig)
+from spt_proto_tpu.layers.common import LoRADense, apply_rope, rope_cos_sin
+from spt_proto_tpu.layers.quantizer import PQQuantizer
+from spt_proto_tpu.ops.lookup import pq_topk_indices
+from spt_proto_tpu.ops.sparse_attention import sparse_attention
+
+
+class MultiheadAttention(nn.Module):
+    cfg: ModelConfig
+    deterministic: bool = True
+    train_quantizer: bool = False
+
+    def setup(self):
+        cfg = self.cfg
+        dense = lambda name: LoRADense(
+            features=cfg.d_model, use_bias=cfg.attn_bias, d_lora=cfg.d_lora,
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name)
+        self.linear_q = dense('q')
+        self.linear_k = dense('k')
+        self.linear_v = dense('v')
+        self.linear_o = dense('o')
+        if cfg.attention in (ATTN_SPARSE_V1, ATTN_SPARSE_V2):
+            self.quantizer = PQQuantizer(
+                d_codeword=cfg.d_codeword, n_codewords=cfg.n_codewords,
+                n_subspaces=cfg.n_subspaces, param_dtype=cfg.param_dtype)
+        if cfg.p_dropout > 0.0:
+            self.dropout = nn.Dropout(rate=cfg.p_dropout)
+
+    def _dense_attn(self, q, k, v):
+        """[B, S, H, E] SDPA with causal mask.
+
+        Ref basic/attention.py:18-39: softmax(scale * (qk + additive_mask)).
+        """
+        cfg = self.cfg
+        s = q.shape[1]
+        scale = cfg.d_head ** -0.5
+        scores = jnp.einsum('bihe,bjhe->bhij', q, k)
+        causal = jnp.tril(jnp.ones((s, s), dtype=bool))
+        scores = jnp.where(causal, scale * scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        if cfg.p_dropout > 0.0 and not self.deterministic:
+            probs = self.dropout(probs, deterministic=False)
+        return jnp.einsum('bhij,bjhe->bihe', probs, v)
+
+    def _sparse_attn(self, q, k, v):
+        """PQ top-k sparse path. Ref sparse/attention.py:84-142."""
+        cfg = self.cfg
+        b, s, h, e = q.shape
+        scale = cfg.d_head ** -0.5
+        top_k = max(1, s // cfg.sparse_coeff)
+        # [B, S, H, E] -> [B*H, S, E]
+        to_flat = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, s, e)
+        qf, kf, vf = to_flat(q), to_flat(k), to_flat(v)
+        aux = jnp.zeros((), jnp.float32)
+        if self.train_quantizer:
+            _, loss_q = self.quantizer.train_loss(qf)
+            _, loss_k = self.quantizer.train_loss(kf)
+            aux = (loss_q + loss_k).astype(jnp.float32)
+        q_codes = self.quantizer.encode(qf)
+        k_codes = self.quantizer.encode(kf)
+        idx = pq_topk_indices(q_codes, k_codes, top_k=top_k,
+                              n_codewords=cfg.n_codewords)
+        if cfg.attn_impl == 'pallas':
+            from spt_proto_tpu.ops.pallas.sparse_attention import (
+                sparse_attention_kernel)
+            yf = sparse_attention_kernel(qf, kf, vf, idx, scale=scale,
+                                         clamp=cfg.score_clamp)
+        else:
+            yf = sparse_attention(qf, kf, vf, idx, scale=scale,
+                                  clamp=cfg.score_clamp)
+        return yf.reshape(b, h, s, e).transpose(0, 2, 1, 3), aux
+
+    def __call__(self, x):
+        """x [B, S, D] -> (y [B, S, D], pq_aux_loss scalar)."""
+        cfg = self.cfg
+        b, s, _ = x.shape
+        heads = lambda t: t.reshape(b, s, cfg.n_heads, cfg.d_head)
+        q = heads(self.linear_q(x))
+        k = heads(self.linear_k(x))
+        v = heads(self.linear_v(x))
+        if cfg.arch == 'llama':
+            cos, sin = rope_cos_sin(jnp.arange(s), cfg.d_head,
+                                    dtype=jnp.float32)
+            q = apply_rope(q.astype(jnp.float32), cos, sin).astype(cfg.dtype)
+            k = apply_rope(k.astype(jnp.float32), cos, sin).astype(cfg.dtype)
+
+        aux = jnp.zeros((), jnp.float32)
+        if cfg.attention == ATTN_SPARSE_V2:
+            y, aux = self._sparse_attn(q, k, v)
+        else:
+            if cfg.attention == ATTN_SPARSE_V1 and self.train_quantizer:
+                # codebook warm-up on the (possibly rotary) q/k, dense attn
+                # (ref sparse/attention.py:5-43,145-192)
+                b_, s_, h_, e_ = q.shape
+                flat = lambda t: t.transpose(0, 2, 1, 3).reshape(-1, s_, e_)
+                _, lq = self.quantizer.train_loss(flat(q))
+                _, lk = self.quantizer.train_loss(flat(k))
+                aux = (lq + lk).astype(jnp.float32)
+            elif cfg.attention == ATTN_SPARSE_V1:
+                # touch params so linen registers them outside training too
+                _ = self.quantizer.codebook
+            y = self._dense_attn(q, k, v)
+        y = y.reshape(b, s, cfg.d_model)
+        return self.linear_o(y), aux

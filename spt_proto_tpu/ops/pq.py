@@ -1,0 +1,76 @@
+"""Product-quantization core math (pure jnp; Pallas kernel in ops/pallas/pq_cdist.py).
+
+Reference parity: naive_gpt/layers/basic/quantizer.py (PQBase forward modes
+encode/decode/quantize/train) and extension/cdist.cu (batched L1 cdist +
+argmin in one pass). The TPU design keeps the math identical but expresses it
+functionally: a codebook array is threaded in, and the train mode returns the
+auxiliary loss instead of stashing it in a module buffer.
+
+Shapes
+  z         [..., n_subspaces * d_codeword]   vectors to be coded
+  codebook  [n_subspaces, n_codewords, d_codeword]
+  codes     [..., n_subspaces] int32
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pq_distances(z: jax.Array, codebook: jax.Array) -> jax.Array:
+    """Per-subspace L1 distances to every codeword.
+
+    Returns [..., n_subspaces, n_codewords] (float32 accumulate).
+    Ref: extension/cdist.cu:8-69 computes the same full distance matrix and
+    the argmin in a single kernel; under XLA the argmin fuses with this.
+    """
+    n_sub, n_code, d_code = codebook.shape
+    zs = z.reshape(*z.shape[:-1], n_sub, 1, d_code)
+    return jnp.sum(jnp.abs(zs - codebook), axis=-1)
+
+
+def pq_encode(z: jax.Array, codebook: jax.Array) -> jax.Array:
+    """Vectors -> int32 codes [..., n_subspaces]. Ref: quantizer.py 'encode'."""
+    d = pq_distances(z, codebook)
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+def pq_decode(codes: jax.Array, codebook: jax.Array) -> jax.Array:
+    """Codes -> centroid vectors [..., n_subspaces * d_codeword].
+
+    Ref: quantizer.py 'decode' (gather of codebook rows).
+    """
+    n_sub, n_code, d_code = codebook.shape
+    # codes [..., n_sub]; one gather per subspace. take_along_axis over axis 1.
+    sub = jnp.arange(n_sub)
+    z_q = codebook[sub, codes]          # [..., n_sub, d_code]
+    return z_q.reshape(*codes.shape[:-1], n_sub * d_code)
+
+
+def pq_quantize(z: jax.Array, codebook: jax.Array) -> jax.Array:
+    """Round-trip z -> nearest centroids. Ref: quantizer.py 'quantize'."""
+    return pq_decode(pq_encode(z, codebook), codebook)
+
+
+def pq_train(z: jax.Array, codebook: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Training mode: returns (z_q, loss).
+
+    loss = MSE(z_w, z_q) + MSE(z, z_q) where z_w is the soft assignment
+    softmax(-log d) @ codebook == (1/d)/sum(1/d) weighted centroid mix.
+    Ref: quantizer.py:94-111 (distance clamped >= 1e-5; no stop-gradients —
+    gradients flow to both the inputs and the codebook, matching the torch
+    MSELoss-on-differentiable-target behaviour).
+    """
+    n_sub, n_code, d_code = codebook.shape
+    d = pq_distances(z, codebook)                       # [..., n_sub, n_code]
+    idx = jnp.argmin(d, axis=-1)                        # [..., n_sub]
+    sub = jnp.arange(n_sub)
+    z_q_flat = codebook[sub, idx]                       # [..., n_sub, d_code]
+    d = jnp.clip(d, 1e-5, None)
+    attn = jax.nn.softmax(-jnp.log(d), axis=-1)         # inverse-distance weights
+    z_w = jnp.einsum('...sc,scd->...sd', attn, codebook)
+    zs = z.reshape(*z.shape[:-1], n_sub, d_code)
+    loss_w = jnp.mean(jnp.square(z_w - z_q_flat))
+    loss_q = jnp.mean(jnp.square(zs - z_q_flat))
+    z_q = z_q_flat.reshape(z.shape)
+    return z_q, loss_w + loss_q

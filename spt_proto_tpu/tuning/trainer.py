@@ -1,0 +1,125 @@
+"""Training step + loop: LoRA/sparse fine-tuning with optax under pjit.
+
+Reference parity: script/4-sparse-tuning-0.py (AdamW lr 1e-4, weight decay
+0.1, exponential LR gamma 0.9/epoch, grad clip 1.0, CE loss + 1e-2 * PQ aux
+loss armed every step) and script/4-sparse-tuning-1.py (ZeRO-3 ≡ our sharded
+params + optimizer state; CPU activation checkpointing ≡ cfg.remat).
+Lightning's trainer shrinks to a ~50-line jitted loop.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from spt_proto_tpu.config import ModelConfig
+from spt_proto_tpu.models.decoder import DecoderLM
+from spt_proto_tpu.tuning.partition import masked_optimizer
+
+AUX_LOSS_COEFF = 1e-2  # ref 4-sparse-tuning-0.py:84-91
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(params: Any, *, lr: float = 1e-4,
+                   weight_decay: float = 0.1, clip: float = 1.0,
+                   lr_schedule: Optional[Callable] = None,
+                   freeze_base: bool = True) -> optax.GradientTransformation:
+    tx = optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.adamw(lr_schedule if lr_schedule is not None else lr,
+                    weight_decay=weight_decay))
+    if freeze_base:
+        tx = masked_optimizer(tx, params)
+    return tx
+
+
+def lm_loss(logits: jax.Array, targets: jax.Array,
+            mask: Optional[jax.Array] = None) -> jax.Array:
+    """Mean next-token cross entropy. logits [B, S, V], targets [B, S]."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), targets)
+    if mask is None:
+        return jnp.mean(ce)
+    mask = mask.astype(jnp.float32)
+    return jnp.sum(ce * mask) / jnp.clip(jnp.sum(mask), 1.0, None)
+
+
+def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
+                    *, train_quantizer: bool = True,
+                    aux_coeff: float = AUX_LOSS_COEFF):
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    batch = {'inputs' [B,S] int32, 'targets' [B,S] int32,
+             optional 'mask' [B,S]}.
+    """
+    model = DecoderLM(cfg=cfg, deterministic=True,
+                      train_quantizer=train_quantizer)
+
+    def loss_fn(params, batch):
+        out = model.apply({'params': params}, batch['inputs'])
+        ce = lm_loss(out['logits'], batch['targets'], batch.get('mask'))
+        loss = ce + aux_coeff * out['pq_loss']
+        return loss, {'ce': ce, 'pq_loss': out['pq_loss']}
+
+    def train_step(state: TrainState, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics, loss=loss,
+                       grad_norm=optax.global_norm(grads))
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: ModelConfig):
+    model = DecoderLM(cfg=cfg, deterministic=True, train_quantizer=False)
+
+    def eval_step(params, batch):
+        out = model.apply({'params': params}, batch['inputs'])
+        ce = lm_loss(out['logits'], batch['targets'], batch.get('mask'))
+        return {'ce': ce, 'ppl': jnp.exp(ce), 'logits': out['logits']}
+
+    return eval_step
+
+
+def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
+               lr: float = 1e-4, weight_decay: float = 0.1,
+               max_steps: Optional[int] = None,
+               log_every: int = 10,
+               log_fn: Callable[[int, dict], None] = None,
+               mesh=None) -> tuple[Any, list]:
+    """Single-host training loop. With `mesh`, params/batches are placed
+    with the canonical shardings and the step is jitted over the mesh."""
+    tx = make_optimizer(params, lr=lr, weight_decay=weight_decay)
+    if mesh is not None:
+        from spt_proto_tpu.parallel.sharding import (batch_sharding,
+                                                     shard_params)
+        params = shard_params(mesh, params)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_fn = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
+    history = []
+    for i, batch in enumerate(batches):
+        if max_steps is not None and i >= max_steps:
+            break
+        if mesh is not None:
+            batch = jax.device_put(batch, batch_sharding(mesh))
+        state, metrics = step_fn(state, batch)
+        if i % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            history.append((i, m))
+            if log_fn:
+                log_fn(i, m)
+    return state.params, history
