@@ -49,11 +49,12 @@ def main():
     from spt_proto_tpu.config import ModelConfig
 
     on_tpu = jax.devices()[0].platform == 'tpu'
-    batch, seq = (8, 1024) if on_tpu else (2, 256)
+    batch, seq = (4, 2048) if on_tpu else (2, 256)
     base = dict(arch='opt', d_model=768, n_heads=12, n_layers=4,
                 max_length=2048, vocab_size=50272, d_feedforward=3072,
                 dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-                param_dtype=jnp.float32)
+                param_dtype=jnp.float32,
+                attn_impl='pallas' if on_tpu else 'ref')
 
     dense_cfg = ModelConfig(**base)
     sparse_cfg = ModelConfig(**base, d_lora=16, attention='sparse_v2',

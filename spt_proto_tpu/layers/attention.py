@@ -50,10 +50,22 @@ class MultiheadAttention(nn.Module):
         """[B, S, H, E] SDPA with causal mask.
 
         Ref basic/attention.py:18-39: softmax(scale * (qk + additive_mask)).
+        On TPU with tile-aligned shapes this dispatches to the stock Pallas
+        flash-attention kernel (never materializes the S x S matrix).
         """
         cfg = self.cfg
         s = q.shape[1]
         scale = cfg.d_head ** -0.5
+        use_flash = (cfg.attn_impl == 'pallas' and s % 128 == 0
+                     and (cfg.p_dropout == 0.0 or self.deterministic))
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention)
+            qh = q.transpose(0, 2, 1, 3)      # [B, H, S, E]
+            kh = k.transpose(0, 2, 1, 3)
+            vh = v.transpose(0, 2, 1, 3)
+            o = flash_attention(qh, kh, vh, causal=True, sm_scale=scale)
+            return o.transpose(0, 2, 1, 3)
         scores = jnp.einsum('bihe,bjhe->bhij', q, k)
         causal = jnp.tril(jnp.ones((s, s), dtype=bool))
         scores = jnp.where(causal, scale * scores, -jnp.inf)
@@ -63,11 +75,19 @@ class MultiheadAttention(nn.Module):
         return jnp.einsum('bhij,bjhe->bihe', probs, v)
 
     def _sparse_attn(self, q, k, v):
-        """PQ top-k sparse path. Ref sparse/attention.py:84-142."""
+        """PQ sparse path. Ref sparse/attention.py:84-142.
+
+        Three implementations sharing the density contract (keep
+        ~1/sparse_coeff of the causal context per query):
+          'ref'    — per-row top-k gather, bit-faithful to the reference's
+                     CSR pipeline (CPU/test oracle).
+          'block'  — jnp block-sparse: PQ scores pooled to tile resolution,
+                     top key-tiles per query tile (TPU-friendly gathers).
+          'pallas' — fused block-sparse flash kernel (production TPU path).
+        """
         cfg = self.cfg
         b, s, h, e = q.shape
         scale = cfg.d_head ** -0.5
-        top_k = max(1, s // cfg.sparse_coeff)
         # [B, S, H, E] -> [B*H, S, E]
         to_flat = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, s, e)
         qf, kf, vf = to_flat(q), to_flat(k), to_flat(v)
@@ -78,14 +98,32 @@ class MultiheadAttention(nn.Module):
             aux = (loss_q + loss_k).astype(jnp.float32)
         q_codes = self.quantizer.encode(qf)
         k_codes = self.quantizer.encode(kf)
-        idx = pq_topk_indices(q_codes, k_codes, top_k=top_k,
-                              n_codewords=cfg.n_codewords)
-        if cfg.attn_impl == 'pallas':
-            from spt_proto_tpu.ops.pallas.sparse_attention import (
-                sparse_attention_kernel)
-            yf = sparse_attention_kernel(qf, kf, vf, idx, scale=scale,
-                                         clamp=cfg.score_clamp)
+
+        blk = 128
+        use_block = cfg.attn_impl in ('block', 'pallas') and s % blk == 0
+        if use_block:
+            from spt_proto_tpu.ops.block_sparse import (
+                block_sparse_attention_ref, n_selected_tiles,
+                pq_tile_scores, select_tiles)
+            ts = pq_tile_scores(q_codes, k_codes,
+                                n_codewords=cfg.n_codewords,
+                                block_q=blk, block_k=blk)
+            sel = select_tiles(ts, n_selected_tiles(s, blk,
+                                                    cfg.sparse_coeff))
+            if cfg.attn_impl == 'pallas':
+                from spt_proto_tpu.ops.pallas.block_sparse_attention import (
+                    block_sparse_attention)
+                yf = block_sparse_attention(qf, kf, vf, sel, block_q=blk,
+                                            block_k=blk, scale=scale,
+                                            clamp=cfg.score_clamp)
+            else:
+                yf = block_sparse_attention_ref(qf, kf, vf, sel, block_q=blk,
+                                                block_k=blk, scale=scale,
+                                                clamp=cfg.score_clamp)
         else:
+            top_k = max(1, s // cfg.sparse_coeff)
+            idx = pq_topk_indices(q_codes, k_codes, top_k=top_k,
+                                  n_codewords=cfg.n_codewords)
             yf = sparse_attention(qf, kf, vf, idx, scale=scale,
                                   clamp=cfg.score_clamp)
         return yf.reshape(b, h, s, e).transpose(0, 2, 1, 3), aux
