@@ -1,0 +1,101 @@
+"""Inference weight preprocessing.
+
+The training stack keeps LoRA factors separate (they are the trainables);
+at serving time the adapter is folded into the base weight
+(W' = W + left @ right.T — exact, since the LoRA path is a plain additive
+low-rank term, ref tuning/lora.py:69-79). Routed-FFN routers and PQ
+codebooks are carried as-is. Optionally quantizes the big GEMM weights to
+INT8 weight-only (per-output-channel absmax scales) for the fused
+dequant matmul kernel (ops/pallas/int8_matmul.py) — a north-star addition
+with no reference counterpart.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from spt_proto_tpu.config import ModelConfig
+
+
+def fold_lora(p: dict) -> dict:
+    """{'kernel', 'bias'?, 'lora_left'?, 'lora_right'?} -> folded dense."""
+    out = {'kernel': p['kernel']}
+    if 'bias' in p:
+        out['bias'] = p['bias']
+    if 'lora_left' in p:
+        # works for both stacked [L, in, r] and unstacked [in, r] factors
+        out['kernel'] = out['kernel'] + jnp.einsum(
+            '...ir,...or->...io', p['lora_left'], p['lora_right'])
+    return out
+
+
+def fold_lora_embed(p: dict) -> dict:
+    out = {'embedding': p['embedding']}
+    if 'lora_left' in p:
+        out['embedding'] = out['embedding'] + jnp.einsum(
+            '...ir,...or->...io', p['lora_left'], p['lora_right'])
+    return out
+
+
+def quantize_int8(w: jax.Array) -> dict:
+    """Per-output-channel (last axis) symmetric INT8 quantization."""
+    scale = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return {'q': q, 'scale': scale.astype(jnp.float32)}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class InferenceWeights:
+    cfg: ModelConfig = dataclasses.field(metadata=dict(static=True))
+    params: Any = None   # folded param tree (blocks stacked [L, ...])
+    quant: Optional[str] = dataclasses.field(
+        default=None, metadata=dict(static=True))
+
+    @staticmethod
+    def from_params(cfg: ModelConfig, params: Any,
+                    quant: Optional[str] = None,
+                    dtype=None) -> 'InferenceWeights':
+        dtype = dtype or cfg.dtype
+        p = jax.tree.map(lambda x: jnp.asarray(x), params)
+        out: dict = {}
+        out['embedding'] = fold_lora_embed(p['embedding'])
+        if cfg.arch == 'opt':
+            out['learned_pe'] = fold_lora_embed(p['learned_pe'])
+        blocks = p['blocks']
+        b_out: dict = {'mha': {}, 'ffn': {}, 'norm1': blocks['norm1'],
+                       'norm2': blocks['norm2']}
+        for name in ('q', 'k', 'v', 'o'):
+            b_out['mha'][name] = fold_lora(blocks['mha'][name])
+        if 'quantizer' in blocks['mha']:
+            b_out['mha']['quantizer'] = blocks['mha']['quantizer']
+        ffn_names = ('gate', 'side', 'down') if cfg.ffn_gated \
+            else ('fc1', 'fc2')
+        for name in ffn_names:
+            b_out['ffn'][name] = fold_lora(blocks['ffn'][name])
+        if 'router' in blocks['ffn']:
+            b_out['ffn']['router'] = blocks['ffn']['router']
+        out['blocks'] = b_out
+        out['final_norm'] = p['final_norm']
+        out['lm_head'] = {'kernel': p['lm_head']['kernel']}
+
+        def cast(path_leaf):
+            return path_leaf.astype(dtype) if jnp.issubdtype(
+                path_leaf.dtype, jnp.floating) else path_leaf
+        out = jax.tree.map(cast, out)
+
+        if quant == 'int8':
+            # quantize the big per-layer GEMMs (weight-only); biases, norms,
+            # router, codebook stay fp
+            for name in ('q', 'k', 'v', 'o'):
+                out['blocks']['mha'][name]['kernel'] = quantize_int8(
+                    out['blocks']['mha'][name]['kernel'])
+            for name in ffn_names:
+                out['blocks']['ffn'][name]['kernel'] = quantize_int8(
+                    out['blocks']['ffn'][name]['kernel'])
+            out['lm_head']['kernel'] = quantize_int8(out['lm_head']['kernel'])
+        return InferenceWeights(cfg=cfg, params=out, quant=quant)

@@ -1,0 +1,95 @@
+"""INT8 weight-only matmul with dequantization fused into the kernel.
+
+North-star addition (no reference counterpart — the reference is fp32-only,
+SURVEY §0). Weights are stored int8 with per-output-channel scales; the
+kernel loads int8 tiles from HBM (halving weight bandwidth vs bf16, 4x vs
+f32), upcasts in VMEM, and multiplies on the MXU. Because scales are
+per-output-channel, they commute with the K-reduction:
+  x @ (q * s) == (x @ q) * s
+so the scale multiply happens once per output tile on the final K step.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = q_ref[...].astype(jnp.bfloat16)
+    acc_ref[...] += jax.lax.dot(
+        x_ref[...].astype(jnp.bfloat16), w,
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ki == n_k - 1)
+    def _store():
+        o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
+
+
+def _pad_to(x, mult, axis):
+    pad = (-x.shape[axis]) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=('block_m', 'block_n', 'block_k',
+                                             'interpret'))
+def int8_matmul(x: jax.Array, w_q: jax.Array, scale: jax.Array, *,
+                block_m: int = 128, block_n: int = 128, block_k: int = 128,
+                interpret: bool | None = None) -> jax.Array:
+    """x [..., K] float; w_q [K, N] int8; scale [1, N] or [N] f32.
+
+    Returns [..., N] in x.dtype with dequant fused into the tiled matmul.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    lead = x.shape[:-1]
+    k_dim = x.shape[-1]
+    n_dim = w_q.shape[-1]
+    xf = x.reshape(-1, k_dim)
+    m = xf.shape[0]
+    scale = scale.reshape(1, n_dim).astype(jnp.float32)
+
+    xp = _pad_to(_pad_to(xf, block_m, 0), block_k, 1)
+    wp = _pad_to(_pad_to(w_q, block_k, 0), block_n, 1)
+    sp = _pad_to(scale, block_n, 1)
+    mp, kp = xp.shape
+    np_ = wp.shape[1]
+    n_k = kp // block_k
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_k=n_k),
+        grid=(mp // block_m, np_ // block_n, n_k),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        interpret=interpret,
+    )(xp, wp, sp)
+    return out[:m, :n_dim].reshape(*lead, n_dim)
+
+
+def int8_matmul_ref(x: jax.Array, w_q: jax.Array,
+                    scale: jax.Array) -> jax.Array:
+    """jnp oracle."""
+    n = w_q.shape[-1]
+    y = jnp.dot(x.astype(jnp.float32), w_q.astype(jnp.float32))
+    return (y * scale.reshape(1, n)).astype(x.dtype)

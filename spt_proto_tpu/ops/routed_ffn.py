@@ -137,6 +137,52 @@ def routed_ffn_gated_lora(x: jax.Array, probs: jax.Array, top_k: int,
 
 
 # ---------------------------------------------------------------------------
+# Grouped-matmul dispatch (production TPU path, flop-proportional)
+# ---------------------------------------------------------------------------
+
+def routed_ffn_gmm(x: jax.Array, probs: jax.Array, top_k: int,
+                   w1: jax.Array, b1: jax.Array,
+                   w2: jax.Array, b2: jax.Array,
+                   activation: Callable[[jax.Array], jax.Array],
+                   *, interpret: bool = False) -> jax.Array:
+    """Exact-dispatch routed FFN on the megablox grouped-matmul kernel.
+
+    Tokens are replicated per chosen block, sorted by block id, and run
+    through two ragged grouped GEMMs (MXU-dense per group) — the TPU-native
+    equivalent of the reference's per-block Python gather loop
+    (sparse/feedforward.py:66-82) and its abandoned cublasSgemvBatched
+    prototype (legacy/blkmv.cpp). Flops scale with top_k/n_blocks.
+    """
+    from jax.experimental.pallas.ops.tpu.megablox import gmm as _gmm
+    t, d = x.shape
+    n = w1.shape[0]
+    _, ids = jax.lax.top_k(probs, top_k)               # [T, top_k]
+    e = ids.reshape(-1)                                # [T*top_k]
+    order = jnp.argsort(e, stable=True)
+    tok = order // top_k                               # source token per slot
+    e_sorted = e[order]
+    group_sizes = jnp.bincount(e, length=n).astype(jnp.int32)
+    # pad rows up to the gmm row tile (128); pads join the last group and
+    # scatter to a dummy token slot
+    m = t * top_k
+    pad = -(-m // 128) * 128 - m
+    xs = jnp.concatenate([x[tok], jnp.zeros((pad, d), x.dtype)], axis=0)
+    e_padded = jnp.concatenate(
+        [e_sorted, jnp.full((pad,), n - 1, e_sorted.dtype)])
+    tok_padded = jnp.concatenate([tok, jnp.full((pad,), t, tok.dtype)])
+    group_sizes = group_sizes.at[n - 1].add(pad)
+    h = _gmm(xs, w1, group_sizes,
+             preferred_element_type=jnp.float32,
+             interpret=interpret)
+    h = activation(h.astype(x.dtype) + b1[e_padded])
+    ys = _gmm(h, w2, group_sizes,
+              preferred_element_type=jnp.float32,
+              interpret=interpret).astype(x.dtype)
+    y = jnp.zeros((t + 1, d), x.dtype).at[tok_padded].add(ys)
+    return y[:t] + b2
+
+
+# ---------------------------------------------------------------------------
 # Capacity-bucketed gather dispatch (flop-proportional, MoE-style)
 # ---------------------------------------------------------------------------
 

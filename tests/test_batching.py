@@ -1,0 +1,96 @@
+"""Continuous batching tests: C++ scheduler semantics via ctypes, and
+end-to-end serving parity with single-request generate()."""
+import ctypes
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spt_proto_tpu.config import tiny_config
+from spt_proto_tpu.inference.batching import (ContinuousBatchingEngine,
+                                              native_scheduler_lib)
+from spt_proto_tpu.inference.engine import generate
+from spt_proto_tpu.inference.weights import InferenceWeights
+from spt_proto_tpu.tuning import surgery
+
+
+def test_native_scheduler_lifecycle():
+    lib = native_scheduler_lib()
+    s = lib.sched_create(2, 32)
+    try:
+        # admit two, queue one
+        ids = [lib.sched_submit(s, 4, 4) for _ in range(3)]
+        assert all(i > 0 for i in ids)
+        slots = (ctypes.c_int32 * 2)()
+        rids = (ctypes.c_int64 * 2)()
+        n = lib.sched_admit(s, slots, rids)
+        assert n == 2
+        assert lib.sched_queue_depth(s) == 1
+        # not in decode batch until prefill_done
+        mask = (ctypes.c_int8 * 2)()
+        assert lib.sched_decode_mask(s, mask) == 0
+        lib.sched_prefill_done(s, 0)
+        lib.sched_prefill_done(s, 1)
+        assert lib.sched_decode_mask(s, mask) == 2
+        # finish slot 0 by max_new_tokens
+        done = 0
+        for _ in range(4):
+            done = lib.sched_token_decoded(s, 0, 0)
+        assert done == 1
+        # freed slot admits the queued request
+        n = lib.sched_admit(s, slots, rids)
+        assert n == 1 and int(slots[0]) == 0
+        assert lib.sched_queue_depth(s) == 0
+        # eos finishes early
+        assert lib.sched_token_decoded(s, 1, 1) == 1
+        assert lib.sched_num_active(s) == 1
+    finally:
+        lib.sched_destroy(s)
+
+
+def test_reject_oversized():
+    lib = native_scheduler_lib()
+    s = lib.sched_create(1, 16)
+    try:
+        assert lib.sched_submit(s, 10, 10) == -1
+        assert lib.sched_submit(s, 0, 4) == -1
+    finally:
+        lib.sched_destroy(s)
+
+
+@pytest.fixture(scope='module')
+def small_model():
+    cfg = tiny_config('opt').replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+
+
+def test_continuous_batching_matches_generate(small_model):
+    cfg, iw = small_model
+    rng = np.random.RandomState(0)
+    prompts = [list(rng.randint(1, cfg.vocab_size, size=n))
+               for n in (5, 9, 3, 7)]
+    eng = ContinuousBatchingEngine(iw, n_slots=2, max_len=64,
+                                   prefill_bucket=16)
+    rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    completions = {c.request_id: c.tokens for c in eng.run_until_done()}
+    assert set(completions) == set(rids)
+    # each request's greedy tokens must equal isolated generate()
+    for p, rid in zip(prompts, rids):
+        ref = generate(iw, jnp.asarray([p], jnp.int32), 6, max_len=64)
+        ref_new = list(np.asarray(ref)[0, len(p):])
+        assert completions[rid] == ref_new, (completions[rid], ref_new)
+
+
+def test_continuous_batching_more_requests_than_slots(small_model):
+    cfg, iw = small_model
+    rng = np.random.RandomState(1)
+    prompts = [list(rng.randint(1, cfg.vocab_size, size=4 + i))
+               for i in range(5)]
+    eng = ContinuousBatchingEngine(iw, n_slots=2, max_len=32,
+                                   prefill_bucket=8)
+    rids = [eng.submit(p, max_new_tokens=3) for p in prompts]
+    completions = eng.run_until_done()
+    assert len(completions) == 5
+    assert all(len(c.tokens) == 3 for c in completions)

@@ -1,0 +1,163 @@
+"""Inference engine tests: prefill/decode parity vs the training model,
+LoRA folding, sparse decode contract, int8 quantization, sampling."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spt_proto_tpu.config import tiny_config
+from spt_proto_tpu.inference.engine import (KVCache, decode_step, generate,
+                                            prefill, sample)
+from spt_proto_tpu.inference.weights import InferenceWeights, quantize_int8
+from spt_proto_tpu.models.decoder import DecoderLM
+from spt_proto_tpu.tuning import surgery
+
+
+def setup_model(arch='opt', **kw):
+    cfg = tiny_config(arch, **kw).replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+@pytest.mark.parametrize('arch', ['opt', 'llama'])
+def test_prefill_matches_model(arch):
+    cfg, params = setup_model(arch)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0,
+                                cfg.vocab_size)
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    cache = KVCache.create(cfg, 2, 16, dtype=jnp.float32)
+    logits, cache = jax.jit(prefill)(iw, tokens, cache)
+    model = DecoderLM(cfg=cfg)
+    ref = model.apply({'params': params}, tokens)['logits']
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               atol=2e-4)
+    assert int(cache.length[0]) == 12
+
+
+@pytest.mark.parametrize('arch', ['opt', 'llama'])
+def test_decode_matches_teacher_forced(arch):
+    """prefill(s) + decode steps must reproduce the full-forward logits."""
+    cfg, params = setup_model(arch)
+    full = jax.random.randint(jax.random.PRNGKey(2), (2, 10), 0,
+                              cfg.vocab_size)
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    cache = KVCache.create(cfg, 2, 16, dtype=jnp.float32)
+    logits_p, cache = jax.jit(prefill)(iw, full[:, :6], cache)
+    outs = [logits_p[:, -1]]
+    step = jax.jit(decode_step)
+    for t in range(6, 10):
+        lg, cache = step(iw, full[:, t], cache)
+        outs.append(lg)
+    model = DecoderLM(cfg=cfg)
+    ref = model.apply({'params': params}, full)['logits']
+    for i, lg in enumerate(outs):
+        np.testing.assert_allclose(np.asarray(lg), np.asarray(ref[:, 5 + i]),
+                                   atol=5e-4,
+                                   err_msg=f'step {i}')
+
+
+def test_lora_folding_preserves_logits():
+    cfg, params = setup_model('opt')
+    cfg2, params2 = surgery.upgrade(cfg, params, 'lora',
+                                    jax.random.PRNGKey(3), d_lora=4)
+    # perturb lora_right so folding is non-trivial
+    from spt_proto_tpu.utils.tree import flatten, unflatten
+    flat = flatten(params2)
+    for k in flat:
+        if 'lora_right' in k:
+            flat[k] = flat[k] + 0.05 * np.random.RandomState(0).randn(
+                *flat[k].shape).astype(np.float32)
+    params2 = unflatten(flat)
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (1, 8), 0,
+                                cfg.vocab_size)
+    ref = DecoderLM(cfg=cfg2).apply({'params': params2}, tokens)['logits']
+    iw = InferenceWeights.from_params(cfg2, params2, dtype=jnp.float32)
+    cache = KVCache.create(cfg2, 1, 8, dtype=jnp.float32)
+    logits, _ = jax.jit(prefill)(iw, tokens, cache)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               atol=2e-4)
+
+
+def test_sparse_decode_runs_and_uses_topk():
+    cfg, params = setup_model('opt', attention='sparse_v2', d_codeword=4,
+                              n_codewords=8, sparse_coeff=4)
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    cache = KVCache.create(cfg, 2, 32, dtype=jnp.float32)
+    tokens = jax.random.randint(jax.random.PRNGKey(5), (2, 8), 0,
+                                cfg.vocab_size)
+    logits, cache = jax.jit(prefill)(iw, tokens, cache)
+    assert np.isfinite(np.asarray(logits)).all()
+    step = jax.jit(decode_step)
+    tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    for _ in range(3):
+        lg, cache = step(iw, tok, cache)
+        assert np.isfinite(np.asarray(lg)).all()
+        tok = jnp.argmax(lg, -1).astype(jnp.int32)
+    assert int(cache.length[0]) == 11
+    # code cache was filled for the decoded positions
+    assert np.asarray(cache.codes[:, :, :, :11]).any()
+
+
+def test_generate_greedy_deterministic():
+    cfg, params = setup_model('opt')
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    prompts = jax.random.randint(jax.random.PRNGKey(6), (2, 4), 0,
+                                 cfg.vocab_size)
+    out1 = generate(iw, prompts, 5)
+    out2 = generate(iw, prompts, 5)
+    assert out1.shape == (2, 9)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    # greedy continuation must match teacher-forced argmax
+    model = DecoderLM(cfg=cfg)
+    ref = model.apply({'params': params}, out1[:, :-1])['logits']
+    np.testing.assert_array_equal(np.asarray(out1[:, 4:]),
+                                  np.asarray(jnp.argmax(ref[:, 3:], -1)))
+
+
+def test_int8_quantization_error_small():
+    w = jax.random.normal(jax.random.PRNGKey(7), (64, 32))
+    qd = quantize_int8(w)
+    assert qd['q'].dtype == jnp.int8
+    deq = qd['q'].astype(jnp.float32) * qd['scale']
+    rel = float(jnp.max(jnp.abs(deq - w)) / jnp.max(jnp.abs(w)))
+    assert rel < 0.01
+
+
+def test_int8_matmul_kernel_matches_ref():
+    from spt_proto_tpu.ops.pallas.int8_matmul import (int8_matmul,
+                                                      int8_matmul_ref)
+    x = jax.random.normal(jax.random.PRNGKey(8), (48, 96))
+    w = jax.random.normal(jax.random.PRNGKey(9), (96, 160))
+    qd = quantize_int8(w)
+    got = int8_matmul(x, qd['q'], qd['scale'])
+    ref = int8_matmul_ref(x, qd['q'], qd['scale'])
+    # kernel computes in bf16 on the MXU; oracle is f32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2,
+                               atol=1e-1)
+
+
+def test_int8_engine_end_to_end():
+    cfg, params = setup_model('opt')
+    iw8 = InferenceWeights.from_params(cfg, params, quant='int8',
+                                       dtype=jnp.float32)
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    tokens = jax.random.randint(jax.random.PRNGKey(10), (1, 8), 0,
+                                cfg.vocab_size)
+    cache8 = KVCache.create(cfg, 1, 8, dtype=jnp.float32)
+    cache = KVCache.create(cfg, 1, 8, dtype=jnp.float32)
+    l8, _ = jax.jit(prefill)(iw8, tokens, cache8)
+    lf, _ = jax.jit(prefill)(iw, tokens, cache)
+    # int8 weight-only should stay close to fp logits
+    err = float(jnp.mean(jnp.abs(l8 - lf)))
+    rng = float(jnp.max(jnp.abs(lf)))
+    assert err / rng < 0.05, (err, rng)
+
+
+def test_sampling_modes():
+    logits = jnp.asarray([[0.0, 5.0, 1.0, -2.0]])
+    assert int(sample(logits)[0]) == 1
+    rng = jax.random.PRNGKey(0)
+    s = sample(logits, rng, temperature=1.0, top_k=2)
+    assert int(s[0]) in (1, 2)
+    s = sample(logits, rng, temperature=0.5, top_p=0.9)
+    assert int(s[0]) in (1, 2, 0)
