@@ -1,0 +1,72 @@
+"""Text generation / serving CLI (north-star addition, no reference
+counterpart).
+
+    python -m spt_proto_tpu.cli.generate --ckpt .data/opt-125m \
+        --prompt "The meaning of life is" --max_new_tokens 32
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    from spt_proto_tpu.cli.common import add_model_args, apply_dtype, \
+        load_or_init
+    add_model_args(p)
+    p.add_argument('--prompt', action='append', default=None,
+                   help='prompt text (repeatable for a batch)')
+    p.add_argument('--tokenizer', type=str, default='facebook/opt-1.3b')
+    p.add_argument('--max_new_tokens', type=int, default=32)
+    p.add_argument('--temperature', type=float, default=0.0)
+    p.add_argument('--int8', action='store_true',
+                   help='INT8 weight-only quantized serving')
+    p.add_argument('--continuous', action='store_true',
+                   help='serve via the continuous batching engine')
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from spt_proto_tpu.inference.engine import generate
+    from spt_proto_tpu.inference.weights import InferenceWeights
+
+    cfg, params = load_or_init(args)
+    cfg = apply_dtype(cfg, args)
+    if jax.default_backend() == 'tpu':
+        cfg = cfg.replace(attn_impl='pallas')
+    cfg.validate()
+    iw = InferenceWeights.from_params(
+        cfg, params, quant='int8' if args.int8 else None)
+
+    from transformers import AutoTokenizer
+    tok = AutoTokenizer.from_pretrained(args.tokenizer)
+    prompts = args.prompt or ['Hello world']
+    enc = [tok.encode(t) for t in prompts]
+
+    if args.continuous:
+        from spt_proto_tpu.inference.batching import ContinuousBatchingEngine
+        eng = ContinuousBatchingEngine(
+            iw, n_slots=min(8, len(enc)),
+            max_len=max(len(e) for e in enc) + args.max_new_tokens,
+            temperature=args.temperature, eos_id=tok.eos_token_id)
+        rids = [eng.submit(e, args.max_new_tokens) for e in enc]
+        by_id = {c.request_id: c.tokens for c in eng.run_until_done()}
+        outs = [by_id[r] for r in rids]
+        for text, new in zip(prompts, outs):
+            print(repr(text), '->', repr(tok.decode(new)))
+    else:
+        width = max(len(e) for e in enc)
+        batch = np.zeros((len(enc), width), np.int32)
+        for i, e in enumerate(enc):
+            batch[i, :len(e)] = e     # NOTE: right-pad; engine masks by len
+        out = generate(iw, jnp.asarray(batch), args.max_new_tokens,
+                       temperature=args.temperature,
+                       eos_id=tok.eos_token_id)
+        for i, text in enumerate(prompts):
+            new = np.asarray(out)[i, width:]
+            print(repr(text), '->', repr(tok.decode(new)))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,133 @@
+"""Profiling harness CLI.
+
+Reference parity: script/0-profile.py (build a block/model at a named size,
+optionally upgrade full/lora/sparse, warm up, time, dump profiler trace +
+memory stats). TPU equivalents: on-device lax.scan timing loops (host
+per-dispatch latency excluded), jax.profiler traces, device memory_stats.
+
+    python -m spt_proto_tpu.cli.profile --config opt-125m --tuning sparse \
+        --seq_length 1024 --batch_size 4 --backward
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    from spt_proto_tpu.cli.common import add_model_args, apply_dtype, \
+        load_or_init
+    add_model_args(p)
+    p.add_argument('--tuning', choices=['dense', 'lora', 'sparse'],
+                   default='dense')
+    p.add_argument('--seq_length', type=int, default=1024)
+    p.add_argument('--batch_size', type=int, default=4)
+    p.add_argument('--iters', type=int, default=10)
+    p.add_argument('--backward', action='store_true')
+    p.add_argument('--trace_dir', type=str, default=None,
+                   help='write a jax.profiler trace here')
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from spt_proto_tpu.models.decoder import DecoderLM
+    from spt_proto_tpu.tuning import surgery
+    from spt_proto_tpu.tuning.trainer import (make_optimizer, make_train_step,
+                                              TrainState)
+
+    cfg, params = load_or_init(args)
+    cfg = apply_dtype(cfg, args)
+    if jax.default_backend() == 'tpu':
+        cfg = cfg.replace(attn_impl='pallas')
+    rng = jax.random.PRNGKey(0)
+    if args.tuning == 'lora':
+        cfg, params = surgery.upgrade(cfg, params, 'lora', rng)
+    elif args.tuning == 'sparse':
+        cfg, params = surgery.full_upgrade(cfg, params, rng)
+    cfg.validate()
+
+    tokens = jnp.zeros((args.batch_size, args.seq_length), jnp.int32)
+    n = args.iters
+
+    if args.backward:
+        tx = make_optimizer(params, lr=1e-4,
+                            freeze_base=args.tuning != 'dense')
+        step = make_train_step(cfg, tx,
+                               train_quantizer=args.tuning == 'sparse')
+        state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        batch = {'inputs': tokens, 'targets': tokens}
+
+        @jax.jit
+        def loop(state, batch):
+            def body(st, _):
+                st, m = step(st, batch)
+                return st, m['loss']
+            st, losses = jax.lax.scan(body, state, jnp.arange(n))
+            return st, losses[-1]
+
+        t0 = time.perf_counter()
+        state, _ = loop(state, batch)
+        jax.block_until_ready(state.params)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state, last = loop(state, batch)
+        float(last)
+        dt = (time.perf_counter() - t0) / n
+    else:
+        model = DecoderLM(cfg=cfg)
+
+        @jax.jit
+        def loop(params, tokens):
+            def body(c, i):
+                out = model.apply({'params': params},
+                                  (tokens + i) % cfg.vocab_size)['logits']
+                return c + jnp.sum(out[:, -1, :8].astype(jnp.float32)), None
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                  jnp.arange(n))
+            return acc
+
+        t0 = time.perf_counter()
+        float(loop(params, tokens))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(loop(params, tokens))
+        dt = (time.perf_counter() - t0) / n
+
+    toks_per_s = args.batch_size * args.seq_length / dt
+    dev = jax.devices()[0]
+    mem = {}
+    try:
+        stats = dev.memory_stats() or {}
+        mem = {k: v for k, v in stats.items()
+               if k in ('bytes_in_use', 'peak_bytes_in_use',
+                        'bytes_limit')}
+    except Exception:
+        pass
+
+    if args.trace_dir:
+        with jax.profiler.trace(args.trace_dir):
+            if args.backward:
+                st2, last = loop(state, batch)
+                jax.block_until_ready(st2.params)
+            else:
+                float(loop(params, tokens))
+
+    print(json.dumps({
+        'config': args.config if not args.ckpt else args.ckpt,
+        'tuning': args.tuning,
+        'mode': 'train_step' if args.backward else 'forward',
+        'batch': args.batch_size, 'seq': args.seq_length,
+        'compile_s': round(compile_s, 2),
+        'step_ms': round(dt * 1e3, 3),
+        'tokens_per_s': round(toks_per_s, 1),
+        'memory': mem,
+    }))
+
+
+if __name__ == '__main__':
+    main()
