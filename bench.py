@@ -57,8 +57,12 @@ def main():
                 attn_impl='pallas' if on_tpu else 'ref')
 
     dense_cfg = ModelConfig(**base)
+    # ffn_impl stays 'masked': at 4 blocks / 50% density the dense-masked
+    # einsum beats grouped-matmul dispatch (sort+scatter overhead); 'gmm'
+    # wins at many-block / low-density configs
     sparse_cfg = ModelConfig(**base, d_lora=16, attention='sparse_v2',
-                             ffn='routed', ffn_block_size=768)
+                             ffn='routed', ffn_block_size=768,
+                             pq_metric='l2' if on_tpu else 'l1')
     sparse_cfg.validate()
 
     dense_tps = _bench_forward(dense_cfg, batch, seq)

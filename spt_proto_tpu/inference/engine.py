@@ -139,7 +139,7 @@ def _ffn(cfg: ModelConfig, p: dict, x: jax.Array) -> jax.Array:
 def _encode_codes(cfg: ModelConfig, quantizer: dict, x: jax.Array
                   ) -> jax.Array:
     """x [..., D] -> PQ codes [..., n_sub]."""
-    return pq_ops.pq_encode(x, quantizer['codebook'])
+    return pq_ops.pq_encode(x, quantizer['codebook'], cfg.pq_metric)
 
 
 # ---------------------------------------------------------------------------

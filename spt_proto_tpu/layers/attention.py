@@ -42,7 +42,8 @@ class MultiheadAttention(nn.Module):
         if cfg.attention in (ATTN_SPARSE_V1, ATTN_SPARSE_V2):
             self.quantizer = PQQuantizer(
                 d_codeword=cfg.d_codeword, n_codewords=cfg.n_codewords,
-                n_subspaces=cfg.n_subspaces, param_dtype=cfg.param_dtype)
+                n_subspaces=cfg.n_subspaces, param_dtype=cfg.param_dtype,
+                metric=cfg.pq_metric)
         if cfg.p_dropout > 0.0:
             self.dropout = nn.Dropout(rate=cfg.p_dropout)
 

@@ -149,12 +149,17 @@ class RoutedFeedforward(nn.Module):
         v = _block_views(cfg, p1, p2)
         cast = lambda t: t.astype(cfg.dtype)
         top_k = cfg.ffn_active_blocks
+        use_gmm = cfg.ffn_impl == 'gmm' and xf.shape[0] >= 128
         if cfg.d_lora:
-            y = rops.routed_ffn_lora(
+            fn = rops.routed_ffn_lora_gmm if use_gmm else rops.routed_ffn_lora
+            y = fn(xf, probs, top_k, cast(v['w1']), cast(v['b1']),
+                   cast(v['w2']), cast(p2['bias']),
+                   cast(v['lora_left1']), cast(v['lora_right1']),
+                   cast(v['lora_left2']), cast(v['lora_right2']), act)
+        elif use_gmm:
+            y = rops.routed_ffn_gmm(
                 xf, probs, top_k, cast(v['w1']), cast(v['b1']),
-                cast(v['w2']), cast(p2['bias']),
-                cast(v['lora_left1']), cast(v['lora_right1']),
-                cast(v['lora_left2']), cast(v['lora_right2']), act)
+                cast(v['w2']), cast(p2['bias']), act)
         elif cfg.ffn_impl == 'gather':
             y = rops.routed_ffn_gather(
                 xf, probs, top_k, cast(v['w1']), cast(v['b1']),

@@ -19,6 +19,7 @@ class PQQuantizer(nn.Module):
     n_codewords: int
     n_subspaces: int
     param_dtype: Any = jnp.float32
+    metric: str = 'l1'
 
     def setup(self):
         # ref quantizer.py:19-23 (randn init)
@@ -28,17 +29,17 @@ class PQQuantizer(nn.Module):
             self.param_dtype)
 
     def encode(self, z):
-        return pq.pq_encode(z, self.codebook)
+        return pq.pq_encode(z, self.codebook, self.metric)
 
     def decode(self, codes):
         return pq.pq_decode(codes, self.codebook)
 
     def quantize(self, z):
-        return pq.pq_quantize(z, self.codebook)
+        return pq.pq_quantize(z, self.codebook, self.metric)
 
     def train_loss(self, z):
         """Returns (z_q, aux_loss) — ref quantizer.py 'train' mode."""
-        return pq.pq_train(z, self.codebook)
+        return pq.pq_train(z, self.codebook, self.metric)
 
     def __call__(self, z):
         # default mode: encode (needed so linen initializes params)

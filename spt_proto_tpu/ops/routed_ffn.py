@@ -144,7 +144,7 @@ def routed_ffn_gmm(x: jax.Array, probs: jax.Array, top_k: int,
                    w1: jax.Array, b1: jax.Array,
                    w2: jax.Array, b2: jax.Array,
                    activation: Callable[[jax.Array], jax.Array],
-                   *, interpret: bool = False) -> jax.Array:
+                   *, interpret: bool | None = None) -> jax.Array:
     """Exact-dispatch routed FFN on the megablox grouped-matmul kernel.
 
     Tokens are replicated per chosen block, sorted by block id, and run
@@ -154,6 +154,8 @@ def routed_ffn_gmm(x: jax.Array, probs: jax.Array, top_k: int,
     prototype (legacy/blkmv.cpp). Flops scale with top_k/n_blocks.
     """
     from jax.experimental.pallas.ops.tpu.megablox import gmm as _gmm
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
     t, d = x.shape
     n = w1.shape[0]
     _, ids = jax.lax.top_k(probs, top_k)               # [T, top_k]
@@ -178,6 +180,59 @@ def routed_ffn_gmm(x: jax.Array, probs: jax.Array, top_k: int,
     ys = _gmm(h, w2, group_sizes,
               preferred_element_type=jnp.float32,
               interpret=interpret).astype(x.dtype)
+    y = jnp.zeros((t + 1, d), x.dtype).at[tok_padded].add(ys)
+    return y[:t] + b2
+
+
+def routed_ffn_lora_gmm(x: jax.Array, probs: jax.Array, top_k: int,
+                        w1: jax.Array, b1: jax.Array,
+                        w2: jax.Array, b2: jax.Array,
+                        lora_left1: jax.Array, lora_right1: jax.Array,
+                        lora_left2: jax.Array, lora_right2: jax.Array,
+                        activation: Callable[[jax.Array], jax.Array],
+                        *, interpret: bool | None = None) -> jax.Array:
+    """Grouped-matmul version of routed_ffn_lora (same math, flops scale
+    with top_k/n_blocks). The per-block LoRA slices also run as grouped
+    GEMMs: lora_h = (x @ L1) @ R1[e]^T and hl = h @ L2[e] are ragged
+    grouped matmuls over the same token ordering."""
+    from jax.experimental.pallas.ops.tpu.megablox import gmm as _gmm
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    t, d = x.shape
+    n = w1.shape[0]
+    _, ids = jax.lax.top_k(probs, top_k)
+    e = ids.reshape(-1)
+    order = jnp.argsort(e, stable=True)
+    tok = order // top_k
+    e_sorted = e[order]
+    group_sizes = jnp.bincount(e, length=n).astype(jnp.int32)
+    m = t * top_k
+    pad = -(-m // 128) * 128 - m
+    xs = jnp.concatenate([x[tok], jnp.zeros((pad, d), x.dtype)], axis=0)
+    e_padded = jnp.concatenate(
+        [e_sorted, jnp.full((pad,), n - 1, e_sorted.dtype)])
+    tok_padded = jnp.concatenate([tok, jnp.full((pad,), t, tok.dtype)])
+    group_sizes = group_sizes.at[n - 1].add(pad)
+    # coeff = 2 * prob of the chosen block, per sorted row (pads -> 0)
+    coeff_rows = jnp.take_along_axis(probs[tok], e_sorted[:, None],
+                                     axis=1)[:, 0]
+    coeff = 2.0 * jnp.concatenate(
+        [coeff_rows, jnp.zeros((pad,), probs.dtype)])[:, None]
+    h = _gmm(xs, w1, group_sizes, preferred_element_type=jnp.float32,
+             interpret=interpret).astype(x.dtype)
+    h = h + b1[e_padded]
+    xl = xs @ lora_left1                                   # [m_pad, r]
+    lora_h = _gmm(xl, jnp.swapaxes(lora_right1, 1, 2), group_sizes,
+                  preferred_element_type=jnp.float32,
+                  interpret=interpret).astype(x.dtype)
+    h = activation(coeff * h + lora_h)
+    ys = coeff * _gmm(h, w2, group_sizes,
+                      preferred_element_type=jnp.float32,
+                      interpret=interpret).astype(x.dtype)
+    hl = _gmm(h, lora_left2, group_sizes,
+              preferred_element_type=jnp.float32,
+              interpret=interpret).astype(x.dtype)        # [m_pad, r]
+    ys = ys + hl @ lora_right2.T
     y = jnp.zeros((t + 1, d), x.dtype).at[tok_padded].add(ys)
     return y[:t] + b2
 
