@@ -13,8 +13,14 @@ import re
 from typing import List, Sequence
 
 
-def sanitize(text: str) -> str:
-    """Whitespace/punctuation normalization (ref transform.py:7-37)."""
+def sanitize_py(text: str) -> str:
+    """Whitespace/punctuation normalization (ref transform.py:7-37).
+
+    Pure-Python reference; `sanitize` dispatches to the native C++
+    implementation (runtime/textproc.cc) when the runtime library is
+    available — byte-identical output, asserted in
+    tests/test_native_textproc.py.
+    """
     normalizes = [
         (r'\(\)', ' '), (r'\[\]', ' '), (r'\{\}', ' '),
         (r'\s([\,\.\?\!\;\:])', r'\g<1>'),
@@ -29,6 +35,49 @@ def sanitize(text: str) -> str:
         if paragraph:
             out.append(paragraph)
     return '\n\n'.join(out)
+
+
+_NATIVE_SANITIZE = None
+
+
+def _native_sanitize():
+    global _NATIVE_SANITIZE
+    if _NATIVE_SANITIZE is None:
+        try:
+            import ctypes
+            from spt_proto_tpu.inference.batching import native_scheduler_lib
+            lib = native_scheduler_lib()
+            lib.textproc_sanitize.restype = ctypes.c_int32
+            lib.textproc_sanitize.argtypes = [
+                ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
+                ctypes.c_int32]
+
+            def call(text: str) -> str:
+                raw = text.encode('utf-8')
+                cap = len(raw) + 16
+                buf = ctypes.create_string_buffer(cap)
+                n = lib.textproc_sanitize(raw, len(raw), buf, cap)
+                if n < 0:   # shouldn't happen: output never grows
+                    return sanitize_py(text)
+                return buf.raw[:n].decode('utf-8')
+            _NATIVE_SANITIZE = call
+        except Exception:
+            _NATIVE_SANITIZE = False
+    return _NATIVE_SANITIZE or None
+
+
+# Unicode whitespace that Python's \s matches but the bytewise C++ fast
+# path does not; their presence routes to the Python implementation.
+_UNICODE_WS = ('\xa0        '
+               '        　'
+               '\x1c\x1d\x1e\x1f\x85')
+
+
+def sanitize(text: str) -> str:
+    native = _native_sanitize()
+    if native is not None and not any(c in text for c in _UNICODE_WS):
+        return native(text)
+    return sanitize_py(text)
 
 
 def clamp_padding(sequence: Sequence[int], seq_length: int,

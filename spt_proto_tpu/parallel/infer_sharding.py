@@ -1,0 +1,43 @@
+"""Sharded serving: tensor-parallel weights + head-sharded KV cache.
+
+The folded inference param tree (inference/weights.py) keeps the training
+param paths, so the canonical TP rules (parallel/sharding.py) apply as-is:
+q/k/v shard the head (output) dim on 'model', o and fc2/down shard the
+input dim, vocab/lm_head shard on 'model', PQ codebooks and routers
+replicate. The KV cache shards its head axis on 'model' and its batch
+(slot) axis on 'data' — attention never crosses heads, so decode runs
+collective-free up to the o-projection reduce and the lm_head gather,
+which pjit inserts automatically.
+"""
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from spt_proto_tpu.inference.engine import KVCache
+from spt_proto_tpu.inference.weights import InferenceWeights
+from spt_proto_tpu.parallel.sharding import param_shardings
+
+
+def shard_inference_weights(mesh: Mesh, iw: InferenceWeights
+                            ) -> InferenceWeights:
+    params = jax.device_put(iw.params, param_shardings(mesh, iw.params))
+    return InferenceWeights(cfg=iw.cfg, params=params, quant=iw.quant)
+
+
+def cache_shardings(mesh: Mesh, cache: KVCache) -> KVCache:
+    kv = NamedSharding(mesh, P(None, 'data', 'model', None, None))
+    return KVCache(
+        k=kv, v=kv,
+        codes=NamedSharding(mesh, P(None, 'data', 'model', None, None)),
+        length=NamedSharding(mesh, P('data')))
+
+
+def shard_cache(mesh: Mesh, cache: KVCache) -> KVCache:
+    sh = cache_shardings(mesh, cache)
+    return KVCache(
+        k=jax.device_put(cache.k, sh.k),
+        v=jax.device_put(cache.v, sh.v),
+        codes=jax.device_put(cache.codes, sh.codes),
+        length=jax.device_put(cache.length, sh.length))

@@ -34,7 +34,18 @@ class TrainState:
 def make_optimizer(params: Any, *, lr: float = 1e-4,
                    weight_decay: float = 0.1, clip: float = 1.0,
                    lr_schedule: Optional[Callable] = None,
+                   decay_gamma: Optional[float] = None,
+                   decay_every: int = 1000,
                    freeze_base: bool = True) -> optax.GradientTransformation:
+    """AdamW with clipping and base-weight freezing.
+
+    Ref 4-sparse-tuning-0.py:46-54: AdamW lr 1e-4 wd 0.1 + ExponentialLR
+    gamma 0.9 per epoch — expressed here as optax.exponential_decay every
+    `decay_every` steps when decay_gamma is set.
+    """
+    if lr_schedule is None and decay_gamma is not None:
+        lr_schedule = optax.exponential_decay(
+            lr, transition_steps=decay_every, decay_rate=decay_gamma)
     tx = optax.chain(
         optax.clip_by_global_norm(clip),
         optax.adamw(lr_schedule if lr_schedule is not None else lr,
