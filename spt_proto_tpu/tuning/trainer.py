@@ -68,24 +68,32 @@ def lm_loss(logits: jax.Array, targets: jax.Array,
 
 def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
                     *, train_quantizer: bool = True,
-                    aux_coeff: float = AUX_LOSS_COEFF):
+                    aux_coeff: float = AUX_LOSS_COEFF,
+                    dropout_rng: Optional[jax.Array] = None):
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch = {'inputs' [B,S] int32, 'targets' [B,S] int32,
-             optional 'mask' [B,S]}.
+             optional 'mask' [B,S]}. With cfg.p_dropout > 0 a per-step
+    dropout rng is folded from `dropout_rng` and the step counter.
     """
-    model = DecoderLM(cfg=cfg, deterministic=True,
+    use_dropout = cfg.p_dropout > 0.0
+    model = DecoderLM(cfg=cfg, deterministic=not use_dropout,
                       train_quantizer=train_quantizer)
+    base_rng = dropout_rng if dropout_rng is not None \
+        else jax.random.PRNGKey(0)
 
-    def loss_fn(params, batch):
-        out = model.apply({'params': params}, batch['inputs'])
+    def loss_fn(params, batch, step):
+        rngs = None
+        if use_dropout:
+            rngs = {'dropout': jax.random.fold_in(base_rng, step)}
+        out = model.apply({'params': params}, batch['inputs'], rngs=rngs)
         ce = lm_loss(out['logits'], batch['targets'], batch.get('mask'))
         loss = ce + aux_coeff * out['pq_loss']
         return loss, {'ce': ce, 'pq_loss': out['pq_loss']}
 
     def train_step(state: TrainState, batch):
         (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch)
+            loss_fn, has_aux=True)(state.params, batch, state.step)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics, loss=loss,
