@@ -137,3 +137,88 @@ int64_t sched_slot_request(Scheduler* s, int32_t slot) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Page allocator for the paged KV cache (vLLM-style block tables).
+// Fixed pool of pages; slots allocate lazily as sequences grow and release
+// in O(pages) on completion. Python holds the tensor pages; this tracks
+// ownership.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PagePool {
+  int32_t n_pages;
+  std::vector<int32_t> free_list;               // stack of free page ids
+  std::vector<std::vector<int32_t>> tables;     // per-slot page tables
+};
+
+}  // namespace
+
+extern "C" {
+
+PagePool* pages_create(int32_t n_pages, int32_t n_slots) {
+  auto* p = new PagePool();
+  p->n_pages = n_pages;
+  p->free_list.reserve(n_pages);
+  for (int32_t i = n_pages - 1; i >= 0; --i) p->free_list.push_back(i);
+  p->tables.resize(n_slots);
+  return p;
+}
+
+void pages_destroy(PagePool* p) { delete p; }
+
+int32_t pages_free_count(PagePool* p) {
+  return static_cast<int32_t>(p->free_list.size());
+}
+
+// Allocate one page for a slot. Returns page id or -1 if exhausted.
+int32_t pages_alloc(PagePool* p, int32_t slot) {
+  if (p->free_list.empty()) return -1;
+  int32_t page = p->free_list.back();
+  p->free_list.pop_back();
+  p->tables[static_cast<size_t>(slot)].push_back(page);
+  return page;
+}
+
+// Ensure the slot has capacity for `tokens` tokens given page_size; allocates
+// as many pages as needed. Returns number of newly allocated pages, or -1 if
+// the pool ran out (allocation rolled back).
+int32_t pages_ensure(PagePool* p, int32_t slot, int32_t tokens,
+                     int32_t page_size) {
+  auto& table = p->tables[static_cast<size_t>(slot)];
+  int32_t needed = (tokens + page_size - 1) / page_size;
+  int32_t added = 0;
+  while (static_cast<int32_t>(table.size()) < needed) {
+    if (p->free_list.empty()) {
+      // rollback
+      for (int32_t i = 0; i < added; ++i) {
+        p->free_list.push_back(table.back());
+        table.pop_back();
+      }
+      return -1;
+    }
+    table.push_back(p->free_list.back());
+    p->free_list.pop_back();
+    ++added;
+  }
+  return added;
+}
+
+// Copy the slot's page table into out (capacity cap); pads with -1.
+// Returns the table length.
+int32_t pages_table(PagePool* p, int32_t slot, int32_t* out, int32_t cap) {
+  const auto& table = p->tables[static_cast<size_t>(slot)];
+  int32_t n = static_cast<int32_t>(table.size());
+  for (int32_t i = 0; i < cap; ++i) out[i] = i < n ? table[i] : -1;
+  return n;
+}
+
+// Release every page owned by the slot.
+void pages_release(PagePool* p, int32_t slot) {
+  auto& table = p->tables[static_cast<size_t>(slot)];
+  for (int32_t page : table) p->free_list.push_back(page);
+  table.clear();
+}
+
+}  // extern "C"

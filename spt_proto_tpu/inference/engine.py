@@ -180,28 +180,30 @@ def prefill(iw: InferenceWeights, tokens: jax.Array,
             kz = k.reshape(b * cfg.n_heads, s, cfg.d_head)
             codes_q = _encode_codes(cfg, bp['mha']['quantizer'], qz)
             codes_k = _encode_codes(cfg, bp['mha']['quantizer'], kz)
-            blk = 128
-            if s % blk == 0 and s >= 2 * blk:
+            blk_k = 128
+            blk_q = 256 if s % 256 == 0 else 128
+            if s % blk_q == 0 and s >= 2 * blk_k:
                 from spt_proto_tpu.ops.block_sparse import (
-                    n_selected_tiles, pq_tile_scores, select_tiles)
+                    pq_tile_scores, select_tiles)
+                ratio = blk_q // blk_k
+                n_sel = max(ratio, (s // blk_k) // cfg.sparse_coeff)
                 ts = pq_tile_scores(codes_q, codes_k,
                                     n_codewords=cfg.n_codewords,
-                                    block_q=blk, block_k=blk)
-                sel = select_tiles(
-                    ts, n_selected_tiles(s, blk, cfg.sparse_coeff))
+                                    block_q=blk_q, block_k=blk_k)
+                sel = select_tiles(ts, n_sel, block_ratio=ratio)
                 if cfg.attn_impl == 'pallas':
                     from spt_proto_tpu.ops.pallas.block_sparse_attention \
                         import block_sparse_attention
                     o = block_sparse_attention(
-                        qz, kz, vz_ := v.reshape(qz.shape), sel,
-                        block_q=blk, block_k=blk, scale=scale,
+                        qz, kz, v.reshape(qz.shape), sel,
+                        block_q=blk_q, block_k=blk_k, scale=scale,
                         clamp=cfg.score_clamp)
                 else:
                     from spt_proto_tpu.ops.block_sparse import (
                         block_sparse_attention_ref)
                     o = block_sparse_attention_ref(
-                        qz, kz, v.reshape(qz.shape), sel, block_q=blk,
-                        block_k=blk, scale=scale, clamp=cfg.score_clamp)
+                        qz, kz, v.reshape(qz.shape), sel, block_q=blk_q,
+                        block_k=blk_k, scale=scale, clamp=cfg.score_clamp)
             else:
                 from spt_proto_tpu.ops.lookup import pq_topk_indices
                 from spt_proto_tpu.ops.sparse_attention import (

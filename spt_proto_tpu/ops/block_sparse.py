@@ -58,20 +58,29 @@ def pq_tile_scores(q_codes: jax.Array, k_codes: jax.Array, *,
     return row_scores.reshape(b, n_qt, block_q, n_kt).mean(axis=2)
 
 
-def select_tiles(scores: jax.Array, n_sel: int) -> jax.Array:
-    """Top-n_sel causal key tiles per query tile, diagonal forced in.
+def select_tiles(scores: jax.Array, n_sel: int,
+                 block_ratio: int = 1) -> jax.Array:
+    """Top-n_sel causal key tiles per query tile, diagonal tiles forced in.
 
     scores [B, nq, nk] -> sel [B, nq, n_sel] int32, ascending per row,
     invalid slots = -1 (early query tiles with fewer causal tiles than
-    n_sel). Assumes square tiling (nq == nk) for the causal/diagonal logic.
+    n_sel). block_ratio = block_q // block_k: a query tile spans
+    `block_ratio` key tiles on the diagonal, all of which are forced
+    (every row must be able to attend to itself). Requires
+    n_sel >= block_ratio.
     """
     b, n_qt, n_kt = scores.shape
+    r = block_ratio
+    assert n_kt == n_qt * r, (n_qt, n_kt, r)
+    assert n_sel >= r, (n_sel, r)
     qt = jnp.arange(n_qt)[:, None]
     kt = jnp.arange(n_kt)[None, :]
-    causal = kt <= qt
+    # causal: key tile starts at/before the q tile's last row
+    causal = kt <= qt * r + (r - 1)
     s = jnp.where(causal, scores, -jnp.inf)
-    # force diagonal (self) tile to win
-    s = jnp.where(kt == qt, jnp.inf, s)
+    # force the diagonal-overlap key tiles to win
+    diag = (kt >= qt * r) & (kt <= qt * r + (r - 1))
+    s = jnp.where(diag, jnp.inf, s)
     vals, idx = jax.lax.top_k(s, n_sel)                   # [B, nq, n_sel]
     idx = jnp.where(vals > -jnp.inf, idx, -1)
     # ascending order with invalid (-1) slots pushed to the end

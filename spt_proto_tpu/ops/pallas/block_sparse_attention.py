@@ -56,8 +56,10 @@ def _fwd_kernel(sel_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(tile >= 0)
     def _update():
-        q = q_ref[0].astype(jnp.float32)          # [block_q, d]
-        k = k_ref[0].astype(jnp.float32)          # [block_k, d]
+        # matmuls run in the input dtype (bf16 on the fast path) with f32
+        # accumulation — a f32 upcast before the dot would quarter MXU rate
+        q = q_ref[0]                              # [block_q, d]
+        k = k_ref[0]                              # [block_k, d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -80,9 +82,9 @@ def _fwd_kernel(sel_ref, q_ref, k_ref, v_ref, o_ref,
         p = jnp.where(cols <= rows, p, 0.0)
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
-        v = v_ref[0].astype(jnp.float32)
+        v = v_ref[0]
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
     @pl.when(s_idx == n_sel - 1)
     def _store():

@@ -1,0 +1,76 @@
+"""Paged KV cache tests: native allocator semantics and paged
+prefill/decode parity with the contiguous-cache engine."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spt_proto_tpu.config import tiny_config
+from spt_proto_tpu.inference.engine import KVCache, decode_step, prefill
+from spt_proto_tpu.inference.paged import (PageAllocator, PagedKVCache,
+                                           paged_decode_step, paged_prefill)
+from spt_proto_tpu.inference.weights import InferenceWeights
+from spt_proto_tpu.tuning import surgery
+
+
+def test_page_allocator():
+    alloc = PageAllocator(n_pages=8, n_slots=2)
+    assert alloc.free_count == 8
+    # lazy growth
+    assert alloc.ensure(0, tokens=5, page_size=4) == 2
+    assert alloc.free_count == 6
+    assert alloc.ensure(0, tokens=8, page_size=4) == 0   # already enough
+    t = alloc.table(0, 4)
+    assert (t[:2] >= 0).all() and (t[2:] == -1).all()
+    assert len(set(t[:2])) == 2
+    # exhaustion rolls back
+    assert alloc.ensure(1, tokens=24, page_size=4) == 6
+    with pytest.raises(MemoryError):
+        alloc.ensure(0, tokens=100, page_size=4)
+    assert alloc.free_count == 0
+    # release returns pages
+    alloc.release(1)
+    assert alloc.free_count == 6
+    assert (alloc.table(1, 4) == -1).all()
+
+
+def test_paged_matches_contiguous_engine():
+    cfg = tiny_config('opt').replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    b, s, ps = 2, 8, 4
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (b, s), 0,
+                                cfg.vocab_size)
+
+    # contiguous baseline
+    cache_c = KVCache.create(cfg, b, 16, dtype=jnp.float32)
+    lg_c, cache_c = jax.jit(prefill)(iw, tokens, cache_c)
+    step_c = jax.jit(decode_step)
+    tok = jnp.argmax(lg_c[:, -1], -1).astype(jnp.int32)
+    outs_c = []
+    for _ in range(4):
+        lg, cache_c = step_c(iw, tok, cache_c)
+        outs_c.append(lg)
+        tok = jnp.argmax(lg, -1).astype(jnp.int32)
+
+    # paged: allocate pages via the native allocator
+    alloc = PageAllocator(n_pages=16, n_slots=b)
+    cache_p = PagedKVCache.create(cfg, b, n_pages=16, page_size=ps,
+                                  max_len=16, dtype=jnp.float32)
+    pi = []
+    for slot in range(b):
+        alloc.ensure(slot, tokens=s + 4, page_size=ps)
+        pi.append(alloc.table(slot, cache_p.page_indices.shape[1]))
+    cache_p = PagedKVCache(cache_p.k_pages, cache_p.v_pages,
+                           jnp.asarray(np.stack(pi)), cache_p.length)
+    lg_p, cache_p = jax.jit(paged_prefill)(iw, tokens, cache_p)
+    np.testing.assert_allclose(np.asarray(lg_p), np.asarray(lg_c),
+                               atol=1e-4)
+    step_p = jax.jit(paged_decode_step)
+    tok = jnp.argmax(lg_p[:, -1], -1).astype(jnp.int32)
+    for i in range(4):
+        lg, cache_p = step_p(iw, tok, cache_p)
+        np.testing.assert_allclose(np.asarray(lg), np.asarray(outs_c[i]),
+                                   atol=1e-4, err_msg=f'step {i}')
+        tok = jnp.argmax(lg, -1).astype(jnp.int32)
+    assert int(cache_p.length[0]) == s + 4
