@@ -55,10 +55,15 @@ def main(argv=None):
     n = args.iters
 
     if args.backward:
-        tx = make_optimizer(params, lr=1e-4,
-                            freeze_base=args.tuning != 'dense')
+        freeze = args.tuning != 'dense'
+        tx = make_optimizer(params, lr=1e-4, freeze_base=freeze)
+        trainable = None
+        if freeze:
+            from spt_proto_tpu.tuning.partition import trainable_mask
+            trainable = trainable_mask(params)
         step = make_train_step(cfg, tx,
-                               train_quantizer=args.tuning == 'sparse')
+                               train_quantizer=args.tuning == 'sparse',
+                               trainable=trainable)
         state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
         batch = {'inputs': tokens, 'targets': tokens}
 

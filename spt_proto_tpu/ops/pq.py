@@ -95,8 +95,11 @@ def pq_train(z: jax.Array, codebook: jax.Array,
     if metric == 'l2':
         d = jnp.clip(d, 0.0, None)                      # kill -eps roundoff
     idx = jnp.argmin(d, axis=-1)                        # [..., n_sub]
-    sub = jnp.arange(n_sub)
-    z_q_flat = codebook[sub, idx]                       # [..., n_sub, d_code]
+    # hard centroids via one-hot matmul rather than a gather: the VJP of a
+    # gather is a scatter-add (slow on TPU); the one-hot form backprops to
+    # the codebook through an MXU matmul instead — identical values
+    hard = jax.nn.one_hot(idx, n_code, dtype=codebook.dtype)
+    z_q_flat = jnp.einsum('...sc,scd->...sd', hard, codebook)
     d = jnp.clip(d, 1e-5, None)
     attn = jax.nn.softmax(-jnp.log(d), axis=-1)         # inverse-distance weights
     z_w = jnp.einsum('...sc,scd->...sd', attn, codebook)

@@ -69,12 +69,20 @@ def lm_loss(logits: jax.Array, targets: jax.Array,
 def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
                     *, train_quantizer: bool = True,
                     aux_coeff: float = AUX_LOSS_COEFF,
-                    dropout_rng: Optional[jax.Array] = None):
+                    dropout_rng: Optional[jax.Array] = None,
+                    trainable: Optional[Any] = None):
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch = {'inputs' [B,S] int32, 'targets' [B,S] int32,
              optional 'mask' [B,S]}. With cfg.p_dropout > 0 a per-step
     dropout rng is folded from `dropout_rng` and the step counter.
+
+    `trainable`: optional bool pytree (tuning/partition.py trainable_mask).
+    When given, jax.grad differentiates ONLY the trainable leaves — XLA
+    then dead-code-eliminates every frozen dW matmul from the backward
+    pass, which is the actual compute saving LoRA promises (~1/3 of
+    backward flops plus the embedding scatter). Frozen grads are filled
+    with zeros for the (masked) optimizer.
     """
     use_dropout = cfg.p_dropout > 0.0
     model = DecoderLM(cfg=cfg, deterministic=not use_dropout,
@@ -82,7 +90,23 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
     base_rng = dropout_rng if dropout_rng is not None \
         else jax.random.PRNGKey(0)
 
-    def loss_fn(params, batch, step):
+    flat_mask = None
+    if trainable is not None:
+        from spt_proto_tpu.utils.tree import flatten
+        flat_mask = flatten(trainable)
+
+    def _split(params):
+        from spt_proto_tpu.utils.tree import flatten
+        f = flatten(params)
+        train = {k: v for k, v in f.items() if flat_mask[k]}
+        frozen = {k: v for k, v in f.items() if not flat_mask[k]}
+        return train, frozen
+
+    def _merge(train_flat, frozen_flat):
+        from spt_proto_tpu.utils.tree import unflatten
+        return unflatten({**train_flat, **frozen_flat})
+
+    def _forward(params, batch, step):
         rngs = None
         if use_dropout:
             rngs = {'dropout': jax.random.fold_in(base_rng, step)}
@@ -92,8 +116,16 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
         return loss, {'ce': ce, 'pq_loss': out['pq_loss']}
 
     def train_step(state: TrainState, batch):
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, state.step)
+        if flat_mask is None:
+            (loss, metrics), grads = jax.value_and_grad(
+                _forward, has_aux=True)(state.params, batch, state.step)
+        else:
+            train_flat, frozen_flat = _split(state.params)
+            (loss, metrics), g_train = jax.value_and_grad(
+                lambda t: _forward(_merge(t, frozen_flat), batch,
+                                   state.step), has_aux=True)(train_flat)
+            zeros = {k: jnp.zeros_like(v) for k, v in frozen_flat.items()}
+            grads = _merge(g_train, zeros)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics, loss=loss,
@@ -119,23 +151,44 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
                max_steps: Optional[int] = None,
                log_every: int = 10,
                log_fn: Callable[[int, dict], None] = None,
+               freeze_base: bool = True,
+               pq_train_every: int = 1,
                mesh=None) -> tuple[Any, list]:
     """Single-host training loop. With `mesh`, params/batches are placed
-    with the canonical shardings and the step is jitted over the mesh."""
-    tx = make_optimizer(params, lr=lr, weight_decay=weight_decay)
+    with the canonical shardings and the step is jitted over the mesh.
+    freeze_base=False enables full fine-tuning (no trainable masking).
+
+    pq_train_every: arm the PQ codebook aux loss every K steps (the
+    reference's `trigger` buffer mechanism, sparse/attention.py:98-104 —
+    its training script arms it every step, but the aux loss is ~30% of
+    the SPT step cost; K>1 trades codebook adaptation rate for speed).
+    Two jitted step variants alternate; params/opt state are shared.
+    """
+    tx = make_optimizer(params, lr=lr, weight_decay=weight_decay,
+                        freeze_base=freeze_base)
+    trainable = None
+    if freeze_base:
+        from spt_proto_tpu.tuning.partition import trainable_mask
+        trainable = trainable_mask(params)
     if mesh is not None:
         from spt_proto_tpu.parallel.sharding import (batch_sharding,
                                                      shard_params)
         params = shard_params(mesh, params)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-    step_fn = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
+    step_pq = jax.jit(make_train_step(cfg, tx, trainable=trainable,
+                                      train_quantizer=True),
+                      donate_argnums=(0,))
+    step_fast = step_pq if pq_train_every == 1 else jax.jit(
+        make_train_step(cfg, tx, trainable=trainable,
+                        train_quantizer=False), donate_argnums=(0,))
     history = []
     for i, batch in enumerate(batches):
         if max_steps is not None and i >= max_steps:
             break
         if mesh is not None:
             batch = jax.device_put(batch, batch_sharding(mesh))
-        state, metrics = step_fn(state, batch)
+        fn = step_pq if i % pq_train_every == 0 else step_fast
+        state, metrics = fn(state, batch)
         if i % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             history.append((i, m))
