@@ -33,6 +33,8 @@ def main(argv=None):
     p.add_argument('--seq_length', type=int, default=513)
     p.add_argument('--batch_size', type=int, default=8)
     p.add_argument('--save_every', type=int, default=500)
+    p.add_argument('--resume', action='store_true',
+                   help='resume from --out/checkpoint train state')
     p.add_argument('--remat', action='store_true')
     p.add_argument('--mesh_data', type=int, default=None)
     p.add_argument('--mesh_model', type=int, default=None)
@@ -89,7 +91,9 @@ def main(argv=None):
 
     params, history = train_loop(
         cfg, params, batches, lr=args.lr, weight_decay=args.weight_decay,
-        max_steps=args.steps, log_every=10, log_fn=log, mesh=mesh)
+        max_steps=args.steps, log_every=10, log_fn=log, mesh=mesh,
+        checkpoint_dir=args.out + '-trainstate',
+        checkpoint_every=args.save_every, resume=args.resume)
 
     ckpt_io.save_checkpoint(args.out, cfg, jax.device_get(params))
     n = ckpt_io.save_delta_checkpoint(args.out + '-delta', cfg,

@@ -31,6 +31,34 @@ class TrainState:
     step: jax.Array
 
 
+def save_train_state(path: str, state: TrainState) -> None:
+    """Full training checkpoint (params + optimizer state + step) for
+    crash-resume — the reference relied on Lightning ModelCheckpoint
+    save_last (4-sparse-tuning-0.py:178-182). Serialized as the pytree's
+    leaf list (the treedef is reconstructed from a template at load)."""
+    import os
+
+    import numpy as np
+    os.makedirs(path, exist_ok=True)
+    leaves = jax.tree.leaves(jax.device_get(state))
+    np.savez(os.path.join(path, 'train_state.npz'),
+             **{str(i): np.asarray(leaf) for i, leaf in enumerate(leaves)})
+
+
+def load_train_state(path: str, template: TrainState) -> TrainState:
+    """Restore into a structurally-identical template (same model config,
+    optimizer, shapes)."""
+    import os
+
+    import numpy as np
+    data = np.load(os.path.join(path, 'train_state.npz'))
+    leaves = [data[str(i)] for i in range(len(data.files))]
+    treedef = jax.tree.structure(template)
+    assert treedef.num_leaves == len(leaves), \
+        (treedef.num_leaves, len(leaves))
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def make_optimizer(params: Any, *, lr: float = 1e-4,
                    weight_decay: float = 0.1, clip: float = 1.0,
                    lr_schedule: Optional[Callable] = None,
@@ -153,6 +181,9 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
                log_fn: Callable[[int, dict], None] = None,
                freeze_base: bool = True,
                pq_train_every: int = 1,
+               checkpoint_dir: Optional[str] = None,
+               checkpoint_every: int = 500,
+               resume: bool = False,
                mesh=None) -> tuple[Any, list]:
     """Single-host training loop. With `mesh`, params/batches are placed
     with the canonical shardings and the step is jitted over the mesh.
@@ -164,6 +195,9 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
     the SPT step cost; K>1 trades codebook adaptation rate for speed).
     Two jitted step variants alternate; params/opt state are shared.
     """
+    # the jitted step donates its input state; copy so the caller's param
+    # arrays stay valid after training
+    params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
     tx = make_optimizer(params, lr=lr, weight_decay=weight_decay,
                         freeze_base=freeze_base)
     trainable = None
@@ -175,6 +209,11 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
                                                      shard_params)
         params = shard_params(mesh, params)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    if resume and checkpoint_dir is not None:
+        import os
+        if os.path.exists(os.path.join(checkpoint_dir,
+                                       'train_state.npz')):
+            state = load_train_state(checkpoint_dir, state)
     step_pq = jax.jit(make_train_step(cfg, tx, trainable=trainable,
                                       train_quantizer=True),
                       donate_argnums=(0,))
@@ -194,4 +233,8 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
             history.append((i, m))
             if log_fn:
                 log_fn(i, m)
+        if checkpoint_dir is not None and (i + 1) % checkpoint_every == 0:
+            save_train_state(checkpoint_dir, state)
+    if checkpoint_dir is not None:
+        save_train_state(checkpoint_dir, state)
     return state.params, history
