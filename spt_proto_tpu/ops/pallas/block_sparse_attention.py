@@ -132,6 +132,120 @@ def _fwd(q, k, v, sel, *, block_q, block_k, scale, clamp, interpret):
     )(sel, q, k, v)
 
 
+# ---------------------------------------------------------------------------
+# v2: one grid cell per (batch, q-tile); the selected key tiles are fetched
+# inside the kernel with double-buffered async DMA from HBM. Collapses the
+# grid from B*nq*n_sel cells to B*nq, removing per-cell pipeline overhead
+# (the forward's dominant cost at small tile workloads).
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_dma(sel_ref, q_ref, k_hbm, v_hbm, o_ref,
+                    k_buf, v_buf, sems, *,
+                    block_q: int, block_k: int, n_sel: int,
+                    scale: float, clamp: Optional[float]):
+    b = pl.program_id(0)
+    qt = pl.program_id(1)
+
+    def dma_pair(slot, s_idx):
+        tile = jnp.maximum(sel_ref[b, qt, s_idx], 0)
+        start = tile * block_k
+        return (pltpu.make_async_copy(
+                    k_hbm.at[b, pl.ds(start, block_k), :],
+                    k_buf.at[slot], sems.at[0, slot]),
+                pltpu.make_async_copy(
+                    v_hbm.at[b, pl.ds(start, block_k), :],
+                    v_buf.at[slot], sems.at[1, slot]))
+
+    kd, vd = dma_pair(0, 0)
+    kd.start()
+    vd.start()
+
+    q = q_ref[0]
+
+    def body(s_idx, carry):
+        m_prev, l_prev, acc = carry
+        slot = jax.lax.rem(s_idx, 2)
+        nxt = jax.lax.rem(s_idx + 1, 2)
+
+        @pl.when(s_idx + 1 < n_sel)
+        def _prefetch():
+            kd2, vd2 = dma_pair(nxt, s_idx + 1)
+            kd2.start()
+            vd2.start()
+
+        kd1, vd1 = dma_pair(slot, s_idx)
+        kd1.wait()
+        vd1.wait()
+
+        tile = sel_ref[b, qt, s_idx]
+
+        def update(_):
+            k = k_buf[slot]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if clamp is not None:
+                s = jnp.clip(s, -clamp, clamp)
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0) + qt * block_q
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1) + tile * block_k
+            s = jnp.where(cols <= rows, s, MASK_VALUE)
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            p = jnp.where(cols <= rows, p, 0.0)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            v = v_buf[slot]
+            acc_next = acc * alpha + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            return m_next, l_next, acc_next
+
+        return jax.lax.cond(tile >= 0, update,
+                            lambda _: (m_prev, l_prev, acc), None)
+
+    init = (jnp.full((block_q, 1), MASK_VALUE, jnp.float32),
+            jnp.zeros((block_q, 1), jnp.float32),
+            jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32))
+    m, l, acc = jax.lax.fori_loop(0, n_sel, body, init)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-9)).astype(o_ref.dtype)
+
+
+def _fwd_dma(q, k, v, sel, *, block_q, block_k, scale, clamp, interpret):
+    b, s, d = q.shape
+    n_qt = s // block_q
+    n_sel = sel.shape[-1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_qt),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bi, qi, sref: (bi, qi, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda bi, qi, sref: (bi, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_k, d), q.dtype),
+            pltpu.VMEM((2, block_k, d), q.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(
+        _fwd_kernel_dma, block_q=block_q, block_k=block_k, n_sel=n_sel,
+        scale=scale, clamp=clamp)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'arbitrary')),
+        interpret=interpret,
+    )(sel, q, k, v)
+
+
 def _auto_interpret() -> bool:
     return jax.default_backend() != 'tpu'
 

@@ -130,3 +130,21 @@ def test_n_selected_tiles():
     assert n_selected_tiles(1024, 128, 8) == 1
     assert n_selected_tiles(4096, 128, 8) == 4
     assert n_selected_tiles(128, 128, 8) == 1
+
+
+def test_dma_kernel_matches_ref():
+    """v2 kernel (in-kernel double-buffered DMA over selected tiles)."""
+    from spt_proto_tpu.ops.pallas.block_sparse_attention import _fwd_dma
+    q, k, v, sel = _random_case(3, s=512)
+    # rebuild sel at 256/128 rectangular tiling
+    b = q.shape[0]
+    cq = jax.random.randint(jax.random.PRNGKey(7), (b, q.shape[1], 8), 0, 16)
+    ck = jax.random.randint(jax.random.PRNGKey(8), (b, q.shape[1], 8), 0, 16)
+    ts = pq_tile_scores(cq, ck, n_codewords=16, block_q=256, block_k=128)
+    sel = select_tiles(ts, 3, block_ratio=2)
+    scale = q.shape[-1] ** -0.5
+    ref = block_sparse_attention_ref(q, k, v, sel, block_q=256, block_k=128,
+                                     scale=scale)
+    out = _fwd_dma(q, k, v, sel, block_q=256, block_k=128, scale=scale,
+                   clamp=10.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
