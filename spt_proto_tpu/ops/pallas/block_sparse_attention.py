@@ -214,6 +214,11 @@ def _fwd_kernel_dma(sel_ref, q_ref, k_hbm, v_hbm, o_ref,
 
 def _fwd_dma(q, k, v, sel, *, block_q, block_k, scale, clamp, interpret):
     b, s, d = q.shape
+    if d % 128 != 0 and not interpret:
+        # Mosaic requires DMA slice minor dims 128-aligned; smaller head
+        # dims use the BlockSpec-grid kernel instead
+        return _fwd(q, k, v, sel, block_q=block_q, block_k=block_k,
+                    scale=scale, clamp=clamp, interpret=interpret)
     n_qt = s // block_q
     n_sel = sel.shape[-1]
 
