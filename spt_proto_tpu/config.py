@@ -45,6 +45,7 @@ class ModelConfig:
     sparse_coeff: int = 8           # keep S/8 scores per row
     score_clamp: float = 10.0       # logit clamp (ref sparse/attention.py:125)
     pq_metric: str = 'l1'           # 'l1' = reference cdist; 'l2' = MXU-fast
+    sparse_decode: str = 'tiles'    # decode selection: 'tiles' | 'rows'
     # routed FFN (ref adapter.py:163: block_size = d_ff//4 => 4 blocks)
     ffn_block_size: Optional[int] = None
     ffn_top_k: Optional[int] = None  # default: n_blocks//2

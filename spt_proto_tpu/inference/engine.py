@@ -305,18 +305,61 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
                 (c_cache == codes_q[:, :, None, :]).astype(jnp.float32),
                 axis=-1)                                  # [B, H, S]
             match = jnp.where(valid, match, -1.0)
-            top_k = max(1, smax // cfg.sparse_coeff)
-            mvals, midx = jax.lax.top_k(match, top_k)     # [B, H, K]
-            sel_valid = mvals >= 0.0
-            kg = jnp.take_along_axis(k_cache, midx[..., None], axis=2)
-            vg = jnp.take_along_axis(v_cache, midx[..., None], axis=2)
-            scores = jnp.einsum('bhd,bhkd->bhk', qz, kg,
-                                preferred_element_type=jnp.float32) * scale
-            scores = jnp.clip(scores, -cfg.score_clamp, cfg.score_clamp)
-            scores = jnp.where(sel_valid, scores, NEG_INF)
-            probs = jax.nn.softmax(scores, axis=-1)
-            probs = jnp.where(sel_valid, probs, 0.0).astype(vg.dtype)
-            o = jnp.einsum('bhk,bhkd->bhd', probs, vg)[:, :, None, :]
+            tile_sz = 128
+            use_tiles = (cfg.sparse_decode == 'tiles'
+                         and smax % tile_sz == 0 and smax >= 2 * tile_sz)
+            if use_tiles:
+                # tile-granular selection (the decode analog of the
+                # block-sparse prefill): pool match scores per key tile,
+                # top-k over n_tiles (tiny), gather contiguous tiles.
+                # Avoids the full-row lax.top_k that dominates rows-mode.
+                h_ = cfg.n_heads
+                nt = smax // tile_sz
+                tscore = match.reshape(b, h_, nt, tile_sz).mean(-1)
+                t_start = jnp.arange(nt)[None, :] * tile_sz
+                t_valid = t_start <= pos[:, None]          # [B, nt]
+                tscore = jnp.where(t_valid[:, None, :], tscore, -jnp.inf)
+                cur = (pos // tile_sz)[:, None]            # [B, 1]
+                tscore = jnp.where(
+                    (jnp.arange(nt)[None, :] == cur)[:, None, :],
+                    jnp.inf, tscore)                       # force self tile
+                nsel = min(nt, max(1, nt // cfg.sparse_coeff) + 1)
+                tvals, tidx = jax.lax.top_k(tscore, nsel)  # [B, H, nsel]
+                tile_ok = tvals > -jnp.inf
+                kt = k_cache.reshape(b, h_, nt, tile_sz, cfg.d_head)
+                vt = v_cache.reshape(b, h_, nt, tile_sz, cfg.d_head)
+                safe = jnp.maximum(tidx, 0)
+                kg = jnp.take_along_axis(
+                    kt, safe[..., None, None], axis=2)     # [B,H,ns,ts,D]
+                vg = jnp.take_along_axis(vt, safe[..., None, None], axis=2)
+                cols = safe[..., None] * tile_sz + jnp.arange(tile_sz)
+                ok = (cols <= pos[:, None, None, None]) & \
+                    tile_ok[..., None]                     # [B,H,ns,ts]
+                scores = jnp.einsum('bhd,bhstd->bhst', qz, kg,
+                                    preferred_element_type=jnp.float32
+                                    ) * scale
+                scores = jnp.clip(scores, -cfg.score_clamp,
+                                  cfg.score_clamp)
+                scores = jnp.where(ok, scores, NEG_INF)
+                flat = scores.reshape(b, h_, -1)
+                probs = jax.nn.softmax(flat, axis=-1).reshape(scores.shape)
+                probs = jnp.where(ok, probs, 0.0).astype(vg.dtype)
+                o = jnp.einsum('bhst,bhstd->bhd', probs, vg)[:, :, None, :]
+            else:
+                top_k = max(1, smax // cfg.sparse_coeff)
+                mvals, midx = jax.lax.top_k(match, top_k)  # [B, H, K]
+                sel_valid = mvals >= 0.0
+                kg = jnp.take_along_axis(k_cache, midx[..., None], axis=2)
+                vg = jnp.take_along_axis(v_cache, midx[..., None], axis=2)
+                scores = jnp.einsum('bhd,bhkd->bhk', qz, kg,
+                                    preferred_element_type=jnp.float32
+                                    ) * scale
+                scores = jnp.clip(scores, -cfg.score_clamp,
+                                  cfg.score_clamp)
+                scores = jnp.where(sel_valid, scores, NEG_INF)
+                probs = jax.nn.softmax(scores, axis=-1)
+                probs = jnp.where(sel_valid, probs, 0.0).astype(vg.dtype)
+                o = jnp.einsum('bhk,bhkd->bhd', probs, vg)[:, :, None, :]
         else:
             scores = jnp.einsum('bhqd,bhjd->bhqj', q, k_cache,
                                 preferred_element_type=jnp.float32) * scale

@@ -161,3 +161,51 @@ def test_sampling_modes():
     assert int(s[0]) in (1, 2)
     s = sample(logits, rng, temperature=0.5, top_p=0.9)
     assert int(s[0]) in (1, 2, 0)
+
+
+def test_tiles_decode_degenerate_equals_dense():
+    """With enough selected tiles to cover the whole causal context, tiles
+    sparse decode must equal dense decode exactly (clamp wide open)."""
+    cfg = tiny_config('opt', attention='sparse_v2', d_codeword=4,
+                      n_codewords=8, sparse_coeff=1, score_clamp=1e9,
+                      sparse_decode='tiles').replace(dtype=jnp.float32)
+    cfg.validate()
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    dense_cfg = cfg.replace(attention='dense')
+    iw_d = InferenceWeights.from_params(dense_cfg, params,
+                                        dtype=jnp.float32)
+    b, s, smax = 2, 140, 256     # smax = 2 tiles; nsel = 2+1 covers all
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (b, s), 0,
+                                cfg.vocab_size)
+    cache = KVCache.create(cfg, b, smax, dtype=jnp.float32)
+    cache_d = KVCache.create(dense_cfg, b, smax, dtype=jnp.float32)
+    lg, cache = jax.jit(prefill)(iw, tokens, cache)
+    lg_d, cache_d = jax.jit(prefill)(iw_d, tokens, cache_d)
+    tok = jnp.argmax(lg_d[:, -1], -1).astype(jnp.int32)
+    for _ in range(3):
+        out_s, cache = jax.jit(decode_step)(iw, tok, cache)
+        out_d, cache_d = jax.jit(decode_step)(iw_d, tok, cache_d)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d),
+                                   atol=2e-3)
+        tok = jnp.argmax(out_d, -1).astype(jnp.int32)
+
+
+def test_tiles_decode_sparse_runs():
+    cfg = tiny_config('opt', attention='sparse_v2', d_codeword=4,
+                      n_codewords=8, sparse_coeff=4,
+                      sparse_decode='tiles').replace(dtype=jnp.float32)
+    cfg.validate()
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    cache = KVCache.create(cfg, 2, 512, dtype=jnp.float32)
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (2, 130), 0,
+                                cfg.vocab_size)
+    lg, cache = jax.jit(prefill)(iw, tokens, cache)
+    step = jax.jit(decode_step)
+    tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+    for _ in range(3):
+        lg2, cache = step(iw, tok, cache)
+        assert np.isfinite(np.asarray(lg2)).all()
+        tok = jnp.argmax(lg2, -1).astype(jnp.int32)
+    assert int(cache.length[0]) == 133
