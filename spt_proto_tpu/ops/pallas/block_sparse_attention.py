@@ -227,8 +227,8 @@ def _fwd_dma(q, k, v, sel, *, block_q, block_k, scale, clamp, interpret):
         grid=(b, n_qt),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bi, qi, sref: (bi, qi, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, block_q, d),
                                lambda bi, qi, sref: (bi, qi, 0)),

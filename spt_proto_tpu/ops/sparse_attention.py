@@ -7,7 +7,7 @@ spmm}*.{cpp,cu}). The reference stores a batched CSR with a *fixed* nnz per
 row; on TPU that CSR is redundant — fixed top-k is already a rectangular
 [S, K] index tensor, so the whole pipeline collapses to a gather + small
 per-row dense ops that fuse. This file is the pure-jnp reference/oracle; the
-fused Pallas kernel lives in ops/pallas/sparse_attention.py and must match it
+fused Pallas kernel lives in ops/pallas/block_sparse_attention.py (tile-granular redesign) and must match it
 to atol 1e-3 fwd+bwd (the reference's own parity bar,
 test/kernel/test_sddmm.py:83-85).
 
