@@ -33,6 +33,7 @@ class ModelConfig:
     vocab_size: int
     d_feedforward: int
     p_dropout: float = 0.0
+    n_kv_heads: Optional[int] = None  # grouped-query attention; None = MHA
 
     # --- tuning / sparsity stages -----------------------------------------
     d_lora: Optional[int] = None    # LoRA rank; None = no adapters
@@ -61,6 +62,15 @@ class ModelConfig:
     @property
     def d_head(self) -> int:
         return self.d_model // self.n_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.n_kv_heads or self.n_heads
+
+    @property
+    def kv_groups(self) -> int:
+        assert self.n_heads % self.kv_heads == 0
+        return self.n_heads // self.kv_heads
 
     @property
     def n_subspaces(self) -> int:
@@ -119,8 +129,13 @@ def llama_config(name: str = '7b', **kw) -> ModelConfig:
                              d_feedforward=6912),
         '7b': dict(d_model=4096, n_heads=32, n_layers=32, d_feedforward=11008),
         '13b': dict(d_model=5120, n_heads=40, n_layers=40, d_feedforward=13824),
+        # GQA generations (beyond the reference's menu)
+        '3-8b': dict(d_model=4096, n_heads=32, n_kv_heads=8, n_layers=32,
+                     d_feedforward=14336, vocab_size=128256,
+                     max_length=8192),
     }
-    base = dict(arch='llama', max_length=2048, vocab_size=32000, **menu[name])
+    base = dict(arch='llama', max_length=2048, vocab_size=32000)
+    base.update(menu[name])
     base.update(kw)
     return ModelConfig(**base)
 

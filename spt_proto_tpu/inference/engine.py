@@ -46,7 +46,7 @@ class KVCache:
     @staticmethod
     def create(cfg: ModelConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> 'KVCache':
-        l, h, d = cfg.n_layers, cfg.n_heads, cfg.d_head
+        l, h, d = cfg.n_layers, cfg.kv_heads, cfg.d_head
         n_sub = cfg.n_subspaces if cfg.attention == ATTN_SPARSE_V2 else 1
         return KVCache(
             k=jnp.zeros((l, batch, h, max_len, d), dtype),
@@ -167,13 +167,19 @@ def prefill(iw: InferenceWeights, tokens: jax.Array,
         q = _dense(bp['mha']['q'], hn)
         k = _dense(bp['mha']['k'], hn)
         v = _dense(bp['mha']['v'], hn)
-        heads = lambda t: t.reshape(b, s, cfg.n_heads, cfg.d_head).transpose(
-            0, 2, 1, 3)                           # [B, H, S, D]
-        q, k, v = heads(q), heads(k), heads(v)
+        q = q.reshape(b, s, cfg.n_heads, cfg.d_head).transpose(0, 2, 1, 3)
+        kvh = lambda t: t.reshape(b, s, cfg.kv_heads, cfg.d_head).transpose(
+            0, 2, 1, 3)                           # [B, KV, S, D]
+        k, v = kvh(k), kvh(v)
         if cfg.arch == 'llama':
             pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
             q = _apply_rope_1(q, pos)
             k = _apply_rope_1(k, pos)
+        # cache keeps kv_heads; computation broadcasts per query group
+        k_kv, v_kv = k, v
+        if cfg.kv_groups > 1:
+            k = jnp.repeat(k, cfg.kv_groups, axis=1)
+            v = jnp.repeat(v, cfg.kv_groups, axis=1)
         scale = cfg.d_head ** -0.5
         if sparse:
             qz = q.reshape(b * cfg.n_heads, s, cfg.d_head)
@@ -215,7 +221,9 @@ def prefill(iw: InferenceWeights, tokens: jax.Array,
                 o = sparse_attention(qz, kz, v.reshape(qz.shape), idx,
                                      scale=scale, clamp=cfg.score_clamp)
             o = o.reshape(b, cfg.n_heads, s, cfg.d_head)
-            k_codes_cache = codes_k.reshape(b, cfg.n_heads, s, -1)
+            k_codes_cache = _encode_codes(
+                cfg, bp['mha']['quantizer'],
+                k_kv.transpose(0, 1, 2, 3))       # [B, KV, S, n_sub]
         else:
             scores = jnp.einsum('bhid,bhjd->bhij', q, k,
                                 preferred_element_type=jnp.float32) * scale
@@ -224,11 +232,11 @@ def prefill(iw: InferenceWeights, tokens: jax.Array,
             probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
             o = jnp.einsum('bhij,bhjd->bhid', probs, v)
             k_codes_cache = jnp.zeros(
-                (b, cfg.n_heads, s, 1), jnp.int32)
+                (b, cfg.kv_heads, s, 1), jnp.int32)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model)
         x = x + _dense(bp['mha']['o'], o)
         x = x + _ffn(cfg, bp['ffn'], _norm(cfg, bp['norm2'], x))
-        return x, (k, v, k_codes_cache)
+        return x, (k_kv, v_kv, k_codes_cache)
 
     x, (ks, vs, codes) = jax.lax.scan(layer, x, p['blocks'])
     # write cache (prompt occupies positions [0, s))
@@ -275,9 +283,10 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
         q = _dense(bp['mha']['q'], hn)
         k = _dense(bp['mha']['k'], hn)
         v = _dense(bp['mha']['v'], hn)
-        heads = lambda t: t.reshape(b, 1, cfg.n_heads, cfg.d_head).transpose(
-            0, 2, 1, 3)                                  # [B, H, 1, D]
-        q, k, v = heads(q), heads(k), heads(v)
+        q = q.reshape(b, 1, cfg.n_heads, cfg.d_head).transpose(0, 2, 1, 3)
+        kvh = lambda t: t.reshape(b, 1, cfg.kv_heads, cfg.d_head).transpose(
+            0, 2, 1, 3)                                  # [B, KV, 1, D]
+        k, v = kvh(k), kvh(v)
         if cfg.arch == 'llama':
             q = _apply_rope_1(q, pos[:, None])
             k = _apply_rope_1(k, pos[:, None])
@@ -294,15 +303,26 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
                             v_cache)
         valid = (jnp.arange(smax)[None, None, :]
                  <= pos[:, None, None])                  # [B, 1, S]
+        # GQA: cache stays at kv_heads; expand views for the attention math
+        if cfg.kv_groups > 1:
+            k_full = jnp.repeat(k_cache, cfg.kv_groups, axis=1)
+            v_full = jnp.repeat(v_cache, cfg.kv_groups, axis=1)
+            c_full = jnp.repeat(c_cache, cfg.kv_groups, axis=1)
+        else:
+            k_full, v_full, c_full = k_cache, v_cache, c_cache
         if sparse:
             qz = q[:, :, 0, :]                            # [B, H, D]
             codes_q = _encode_codes(cfg, bp['mha']['quantizer'], qz)
             codes_k = _encode_codes(cfg, bp['mha']['quantizer'],
                                     k[:, :, 0, :])
             c_cache = jnp.where(ksel, codes_k[:, :, None, :], c_cache)
+            if cfg.kv_groups > 1:
+                c_full = jnp.repeat(c_cache, cfg.kv_groups, axis=1)
+            else:
+                c_full = c_cache
             # O(S * n_sub) incremental match count per head
             match = jnp.sum(
-                (c_cache == codes_q[:, :, None, :]).astype(jnp.float32),
+                (c_full == codes_q[:, :, None, :]).astype(jnp.float32),
                 axis=-1)                                  # [B, H, S]
             match = jnp.where(valid, match, -1.0)
             tile_sz = 128
@@ -326,8 +346,8 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
                 nsel = min(nt, max(1, nt // cfg.sparse_coeff) + 1)
                 tvals, tidx = jax.lax.top_k(tscore, nsel)  # [B, H, nsel]
                 tile_ok = tvals > -jnp.inf
-                kt = k_cache.reshape(b, h_, nt, tile_sz, cfg.d_head)
-                vt = v_cache.reshape(b, h_, nt, tile_sz, cfg.d_head)
+                kt = k_full.reshape(b, h_, nt, tile_sz, cfg.d_head)
+                vt = v_full.reshape(b, h_, nt, tile_sz, cfg.d_head)
                 safe = jnp.maximum(tidx, 0)
                 kg = jnp.take_along_axis(
                     kt, safe[..., None, None], axis=2)     # [B,H,ns,ts,D]
@@ -349,8 +369,8 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
                 top_k = max(1, smax // cfg.sparse_coeff)
                 mvals, midx = jax.lax.top_k(match, top_k)  # [B, H, K]
                 sel_valid = mvals >= 0.0
-                kg = jnp.take_along_axis(k_cache, midx[..., None], axis=2)
-                vg = jnp.take_along_axis(v_cache, midx[..., None], axis=2)
+                kg = jnp.take_along_axis(k_full, midx[..., None], axis=2)
+                vg = jnp.take_along_axis(v_full, midx[..., None], axis=2)
                 scores = jnp.einsum('bhd,bhkd->bhk', qz, kg,
                                     preferred_element_type=jnp.float32
                                     ) * scale
@@ -361,13 +381,13 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
                 probs = jnp.where(sel_valid, probs, 0.0).astype(vg.dtype)
                 o = jnp.einsum('bhk,bhkd->bhd', probs, vg)[:, :, None, :]
         else:
-            scores = jnp.einsum('bhqd,bhjd->bhqj', q, k_cache,
+            scores = jnp.einsum('bhqd,bhjd->bhqj', q, k_full,
                                 preferred_element_type=jnp.float32) * scale
             scores = jnp.where(valid[:, :, None, :]
                                if valid.ndim == 3 else valid,
                                scores, NEG_INF)
             probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-            o = jnp.einsum('bhqj,bhjd->bhqd', probs, v_cache)
+            o = jnp.einsum('bhqj,bhjd->bhqd', probs, v_full)
         o = o.transpose(0, 2, 1, 3).reshape(b, 1, cfg.d_model)
         x = x + _dense(bp['mha']['o'], o)
         x = x + _ffn(cfg, bp['ffn'], _norm(cfg, bp['norm2'], x))

@@ -37,7 +37,7 @@ class PagedKVCache:
     @staticmethod
     def create(cfg: ModelConfig, batch: int, n_pages: int, page_size: int,
                max_len: int, dtype=jnp.bfloat16) -> 'PagedKVCache':
-        l, h, d = cfg.n_layers, cfg.n_heads, cfg.d_head
+        l, h, d = cfg.n_layers, cfg.kv_heads, cfg.d_head
         pps = -(-max_len // page_size)
         return PagedKVCache(
             k_pages=jnp.zeros((l, h, n_pages, page_size, d), dtype),
@@ -115,6 +115,11 @@ def paged_attention_ref(q: jax.Array, k_pages: jax.Array,
     page_indices [B, pps]."""
     b = q.shape[0]
     h, n, ps, d = k_pages.shape
+    if q.shape[1] != h:                      # GQA: repeat kv pages per group
+        g = q.shape[1] // h
+        k_pages = jnp.repeat(k_pages, g, axis=0)
+        v_pages = jnp.repeat(v_pages, g, axis=0)
+        h = q.shape[1]
     pps = page_indices.shape[1]
     safe = jnp.maximum(page_indices, 0)
     # gather per-sequence K/V: [B, H, pps*ps, D]
@@ -216,8 +221,9 @@ def paged_decode_step(iw: InferenceWeights, tokens: jax.Array,
         q = _dense(bp['mha']['q'], hn)
         k = _dense(bp['mha']['k'], hn)
         v = _dense(bp['mha']['v'], hn)
-        heads = lambda t: t.reshape(b, cfg.n_heads, cfg.d_head)
-        q, k, v = heads(q), heads(k), heads(v)           # [B, H, D]
+        q = q.reshape(b, cfg.n_heads, cfg.d_head)
+        k = k.reshape(b, cfg.kv_heads, cfg.d_head)       # [B, KV, D]
+        v = v.reshape(b, cfg.kv_heads, cfg.d_head)
         if cfg.arch == 'llama':
             q = _apply_rope_1(q[:, :, None, :], pos[:, None])[:, :, 0]
             k = _apply_rope_1(k[:, :, None, :], pos[:, None])[:, :, 0]

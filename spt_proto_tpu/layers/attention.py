@@ -32,13 +32,14 @@ class MultiheadAttention(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        dense = lambda name: LoRADense(
-            features=cfg.d_model, use_bias=cfg.attn_bias, d_lora=cfg.d_lora,
+        dense = lambda name, feats: LoRADense(
+            features=feats, use_bias=cfg.attn_bias, d_lora=cfg.d_lora,
             dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name)
-        self.linear_q = dense('q')
-        self.linear_k = dense('k')
-        self.linear_v = dense('v')
-        self.linear_o = dense('o')
+        kv_feats = cfg.kv_heads * cfg.d_head
+        self.linear_q = dense('q', cfg.d_model)
+        self.linear_k = dense('k', kv_feats)
+        self.linear_v = dense('v', kv_feats)
+        self.linear_o = dense('o', cfg.d_model)
         if cfg.attention in (ATTN_SPARSE_V1, ATTN_SPARSE_V2):
             self.quantizer = PQQuantizer(
                 d_codeword=cfg.d_codeword, n_codewords=cfg.n_codewords,
@@ -137,10 +138,13 @@ class MultiheadAttention(nn.Module):
         """x [B, S, D] -> (y [B, S, D], pq_aux_loss scalar)."""
         cfg = self.cfg
         b, s, _ = x.shape
-        heads = lambda t: t.reshape(b, s, cfg.n_heads, cfg.d_head)
-        q = heads(self.linear_q(x))
-        k = heads(self.linear_k(x))
-        v = heads(self.linear_v(x))
+        q = self.linear_q(x).reshape(b, s, cfg.n_heads, cfg.d_head)
+        # GQA: project K/V at kv_heads, then broadcast per query group
+        kv = lambda t: jnp.repeat(
+            t.reshape(b, s, cfg.kv_heads, cfg.d_head), cfg.kv_groups,
+            axis=2)
+        k = kv(self.linear_k(x))
+        v = kv(self.linear_v(x))
         if cfg.arch == 'llama':
             cos, sin = rope_cos_sin(jnp.arange(s), cfg.d_head,
                                     dtype=jnp.float32)

@@ -127,13 +127,14 @@ def config_from_hf(hf_config) -> ModelConfig:
             vocab_size=hf_config.vocab_size,
             d_feedforward=hf_config.ffn_dim, p_dropout=0.0)
     if mt == 'llama':
-        assert getattr(hf_config, 'num_key_value_heads',
-                       hf_config.num_attention_heads) == \
-            hf_config.num_attention_heads, 'GQA not yet supported'
+        n_kv = getattr(hf_config, 'num_key_value_heads',
+                       hf_config.num_attention_heads)
         return ModelConfig(
             arch='llama', d_model=hf_config.hidden_size,
             n_heads=hf_config.num_attention_heads,
             n_layers=hf_config.num_hidden_layers,
+            n_kv_heads=None if n_kv == hf_config.num_attention_heads
+            else n_kv,
             max_length=hf_config.max_position_embeddings,
             vocab_size=hf_config.vocab_size,
             d_feedforward=hf_config.intermediate_size, p_dropout=0.0)

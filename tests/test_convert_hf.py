@@ -47,3 +47,14 @@ def test_llama_parity():
     hf = transformers.LlamaForCausalLM(hf_cfg).eval()
     tokens = np.random.RandomState(1).randint(0, 128, size=(2, 16))
     _parity(hf, tokens.astype(np.int64))
+
+
+def test_llama_gqa_parity():
+    hf_cfg = transformers.LlamaConfig(
+        hidden_size=64, num_hidden_layers=2, intermediate_size=128,
+        num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, vocab_size=128)
+    torch.manual_seed(2)
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+    tokens = np.random.RandomState(2).randint(0, 128, size=(2, 16))
+    _parity(hf, tokens.astype(np.int64))

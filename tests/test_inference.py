@@ -209,3 +209,26 @@ def test_tiles_decode_sparse_runs():
         assert np.isfinite(np.asarray(lg2)).all()
         tok = jnp.argmax(lg2, -1).astype(jnp.int32)
     assert int(cache.length[0]) == 133
+
+
+def test_gqa_decode_matches_teacher_forced():
+    cfg = tiny_config('llama', n_kv_heads=2).replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    full = jax.random.randint(jax.random.PRNGKey(3), (2, 10), 0,
+                              cfg.vocab_size)
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    cache = KVCache.create(cfg, 2, 16, dtype=jnp.float32)
+    # cache holds kv_heads, not n_heads
+    assert cache.k.shape[2] == 2
+    lg, cache = jax.jit(prefill)(iw, full[:, :6], cache)
+    outs = [lg[:, -1]]
+    step = jax.jit(decode_step)
+    for t in range(6, 10):
+        o, cache = step(iw, full[:, t], cache)
+        outs.append(o)
+    from spt_proto_tpu.models.decoder import DecoderLM
+    ref = DecoderLM(cfg=cfg).apply({'params': params}, full)['logits']
+    for i, lg_ in enumerate(outs):
+        np.testing.assert_allclose(np.asarray(lg_),
+                                   np.asarray(ref[:, 5 + i]), atol=5e-4,
+                                   err_msg=f'step {i}')

@@ -74,3 +74,35 @@ def test_paged_matches_contiguous_engine():
                                    atol=1e-4, err_msg=f'step {i}')
         tok = jnp.argmax(lg, -1).astype(jnp.int32)
     assert int(cache_p.length[0]) == s + 4
+
+
+def test_paged_gqa_matches_contiguous():
+    cfg = tiny_config('llama', n_kv_heads=2).replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    b, s, ps = 2, 8, 4
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (b, s), 0,
+                                cfg.vocab_size)
+    cache_c = KVCache.create(cfg, b, 16, dtype=jnp.float32)
+    lg_c, cache_c = jax.jit(prefill)(iw, tokens, cache_c)
+    lg2_c, cache_c = jax.jit(decode_step)(
+        iw, jnp.argmax(lg_c[:, -1], -1).astype(jnp.int32), cache_c)
+
+    alloc = PageAllocator(n_pages=16, n_slots=b)
+    cache_p = PagedKVCache.create(cfg, b, n_pages=16, page_size=ps,
+                                  max_len=16, dtype=jnp.float32)
+    assert cache_p.k_pages.shape[1] == 2   # kv heads
+    import numpy as _np
+    pi = []
+    for slot in range(b):
+        alloc.ensure(slot, tokens=s + 4, page_size=ps)
+        pi.append(alloc.table(slot, cache_p.page_indices.shape[1]))
+    cache_p = PagedKVCache(cache_p.k_pages, cache_p.v_pages,
+                           jnp.asarray(_np.stack(pi)), cache_p.length)
+    lg_p, cache_p = jax.jit(paged_prefill)(iw, tokens, cache_p)
+    np.testing.assert_allclose(np.asarray(lg_p), np.asarray(lg_c),
+                               atol=1e-4)
+    lg2_p, cache_p = jax.jit(paged_decode_step)(
+        iw, jnp.argmax(lg_p[:, -1], -1).astype(jnp.int32), cache_p)
+    np.testing.assert_allclose(np.asarray(lg2_p), np.asarray(lg2_c),
+                               atol=1e-4)
