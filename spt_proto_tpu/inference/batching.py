@@ -94,23 +94,40 @@ class ContinuousBatchingEngine:
     def __init__(self, iw: InferenceWeights, *, n_slots: int = 8,
                  max_len: int = 256, prefill_bucket: int = 64,
                  temperature: float = 0.0, eos_id: Optional[int] = None,
-                 seed: int = 0):
+                 paged: bool = False, page_size: int = 64,
+                 n_pages: Optional[int] = None, seed: int = 0):
         self.iw = iw
         self.n_slots = n_slots
         self.max_len = max_len
         self.bucket = prefill_bucket
         self.temperature = temperature
         self.eos_id = eos_id
+        self.paged = paged
         self._lib = native_scheduler_lib()
         self._sched = self._lib.sched_create(n_slots, max_len)
-        self.cache = KVCache.create(iw.cfg, n_slots, max_len,
-                                    dtype=iw.cfg.dtype)
+        if paged:
+            from spt_proto_tpu.inference.paged import (PageAllocator,
+                                                       PagedKVCache,
+                                                       paged_decode_step,
+                                                       paged_prefill)
+            self.page_size = page_size
+            if n_pages is None:
+                n_pages = n_slots * (-(-max_len // page_size))
+            self.alloc = PageAllocator(n_pages, n_slots)
+            self.cache = PagedKVCache.create(iw.cfg, n_slots, n_pages,
+                                             page_size, max_len,
+                                             dtype=iw.cfg.dtype)
+            self._prefill_fn = jax.jit(paged_prefill)
+            self._decode_fn = jax.jit(paged_decode_step)
+        else:
+            self.cache = KVCache.create(iw.cfg, n_slots, max_len,
+                                        dtype=iw.cfg.dtype)
+            self._prefill_fn = jax.jit(prefill)
+            self._decode_fn = jax.jit(decode_step)
         self._prompts: Dict[int, List[int]] = {}
         self._live: Dict[int, _Live] = {}       # slot -> live state
         self._tokens = np.zeros((n_slots,), np.int32)
         self._rng = jax.random.PRNGKey(seed)
-        self._prefill_fn = jax.jit(prefill)
-        self._decode_fn = jax.jit(decode_step)
         self.completions: List[Completion] = []
 
     def __del__(self):
@@ -147,15 +164,33 @@ class ContinuousBatchingEngine:
         sb = min(self._bucketed(s), self.max_len)
         padded = np.zeros((1, sb), np.int32)
         padded[0, :s] = prompt
-        mini = KVCache.create(self.iw.cfg, 1, self.max_len,
-                              dtype=self.cache.k.dtype)
-        logits, mini = self._prefill_fn(self.iw, jnp.asarray(padded), mini)
-        # splice slot cache; true length is s (not the padded sb)
-        self.cache = KVCache(
-            k=self.cache.k.at[:, slot].set(mini.k[:, 0]),
-            v=self.cache.v.at[:, slot].set(mini.v[:, 0]),
-            codes=self.cache.codes.at[:, slot].set(mini.codes[:, 0]),
-            length=self.cache.length.at[slot].set(s))
+        if self.paged:
+            from spt_proto_tpu.inference.paged import PagedKVCache
+            # allocate pages for the whole request up front (table is then
+            # fixed for the slot's lifetime); release returns them
+            self.alloc.ensure(slot, self.max_len, self.page_size)
+            table = self.alloc.table(slot,
+                                     self.cache.page_indices.shape[1])
+            pi = self.cache.page_indices.at[slot].set(jnp.asarray(table))
+            mini = PagedKVCache(self.cache.k_pages, self.cache.v_pages,
+                                pi[slot][None], jnp.zeros((1,), jnp.int32))
+            logits, mini = self._prefill_fn(self.iw, jnp.asarray(padded),
+                                            mini)
+            self.cache = PagedKVCache(
+                k_pages=mini.k_pages, v_pages=mini.v_pages,
+                page_indices=pi,
+                length=self.cache.length.at[slot].set(s))
+        else:
+            mini = KVCache.create(self.iw.cfg, 1, self.max_len,
+                                  dtype=self.cache.k.dtype)
+            logits, mini = self._prefill_fn(self.iw, jnp.asarray(padded),
+                                            mini)
+            # splice slot cache; true length is s (not the padded sb)
+            self.cache = KVCache(
+                k=self.cache.k.at[:, slot].set(mini.k[:, 0]),
+                v=self.cache.v.at[:, slot].set(mini.v[:, 0]),
+                codes=self.cache.codes.at[:, slot].set(mini.codes[:, 0]),
+                length=self.cache.length.at[slot].set(s))
         self._rng, sub = jax.random.split(self._rng)
         tok = int(sample(logits[:, s - 1], sub,
                          temperature=self.temperature)[0])
@@ -172,6 +207,11 @@ class ContinuousBatchingEngine:
         if done:
             live = self._live.pop(slot)
             self.completions.append(Completion(live.request_id, live.tokens))
+            if self.paged:
+                self.alloc.release(slot)
+                self.cache = dataclasses.replace(
+                    self.cache,
+                    page_indices=self.cache.page_indices.at[slot].set(-1))
 
     # ------------------------------------------------------------------
     def step(self) -> int:
@@ -192,14 +232,25 @@ class ContinuousBatchingEngine:
         # only advance the cache for active slots (inactive lanes computed
         # garbage; mask their length update and keep old K/V rows)
         act = jnp.asarray(active)
-        self.cache = KVCache(
-            k=jnp.where(act[None, :, None, None, None], cache.k,
-                        self.cache.k),
-            v=jnp.where(act[None, :, None, None, None], cache.v,
-                        self.cache.v),
-            codes=jnp.where(act[None, :, None, None, None], cache.codes,
-                            self.cache.codes),
-            length=jnp.where(act, cache.length, self.cache.length))
+        if self.paged:
+            from spt_proto_tpu.inference.paged import PagedKVCache
+            # pages are disjoint per slot, so only lengths need masking:
+            # an inactive-but-owned slot rewrote its own current position
+            # (harmless, length held back), and slots with released tables
+            # (-1) wrote into the cache's reserved sink page.
+            self.cache = PagedKVCache(
+                k_pages=cache.k_pages, v_pages=cache.v_pages,
+                page_indices=self.cache.page_indices,
+                length=jnp.where(act, cache.length, self.cache.length))
+        else:
+            self.cache = KVCache(
+                k=jnp.where(act[None, :, None, None, None], cache.k,
+                            self.cache.k),
+                v=jnp.where(act[None, :, None, None, None], cache.v,
+                            self.cache.v),
+                codes=jnp.where(act[None, :, None, None, None], cache.codes,
+                                self.cache.codes),
+                length=jnp.where(act, cache.length, self.cache.length))
         self._rng, sub = jax.random.split(self._rng)
         toks = np.asarray(sample(logits, sub, temperature=self.temperature))
         produced = 0

@@ -37,11 +37,15 @@ class PagedKVCache:
     @staticmethod
     def create(cfg: ModelConfig, batch: int, n_pages: int, page_size: int,
                max_len: int, dtype=jnp.bfloat16) -> 'PagedKVCache':
+        """Allocates n_pages + 1 physical pages: the last page is a
+        reserved write sink — decode writes from slots with no page table
+        (-1 entries, e.g. released continuous-batching lanes) land there
+        instead of corrupting a real page."""
         l, h, d = cfg.n_layers, cfg.kv_heads, cfg.d_head
         pps = -(-max_len // page_size)
         return PagedKVCache(
-            k_pages=jnp.zeros((l, h, n_pages, page_size, d), dtype),
-            v_pages=jnp.zeros((l, h, n_pages, page_size, d), dtype),
+            k_pages=jnp.zeros((l, h, n_pages + 1, page_size, d), dtype),
+            v_pages=jnp.zeros((l, h, n_pages + 1, page_size, d), dtype),
             page_indices=jnp.full((batch, pps), -1, jnp.int32),
             length=jnp.zeros((batch,), jnp.int32))
 
@@ -210,8 +214,13 @@ def paged_decode_step(iw: InferenceWeights, tokens: jax.Array,
     x = h_tok.astype(cfg.dtype)
     scale = cfg.d_head ** -0.5
     bidx = jnp.arange(b)
+    pps = cache.page_indices.shape[1]
     page_of = jnp.take_along_axis(cache.page_indices,
-                                  (pos // ps)[:, None], axis=1)[:, 0]
+                                  jnp.minimum(pos // ps, pps - 1)[:, None],
+                                  axis=1)[:, 0]
+    # slots without a page table write into the reserved sink page
+    sink = cache.k_pages.shape[2] - 1
+    write_page = jnp.where(page_of >= 0, page_of, sink)
     slot_in_page = pos % ps
 
     def layer(carry, inp):
@@ -228,9 +237,9 @@ def paged_decode_step(iw: InferenceWeights, tokens: jax.Array,
             q = _apply_rope_1(q[:, :, None, :], pos[:, None])[:, :, 0]
             k = _apply_rope_1(k[:, :, None, :], pos[:, None])[:, :, 0]
         # write new K/V into the page slot
-        k_pages = k_pages.at[:, jnp.maximum(page_of, 0), slot_in_page].set(
+        k_pages = k_pages.at[:, write_page, slot_in_page].set(
             k.transpose(1, 0, 2).astype(k_pages.dtype))
-        v_pages = v_pages.at[:, jnp.maximum(page_of, 0), slot_in_page].set(
+        v_pages = v_pages.at[:, write_page, slot_in_page].set(
             v.transpose(1, 0, 2).astype(v_pages.dtype))
         o = paged_attention_op(q, k_pages, v_pages, pos + 1,
                                cache.page_indices, scale=scale)

@@ -94,3 +94,23 @@ def test_continuous_batching_more_requests_than_slots(small_model):
     completions = eng.run_until_done()
     assert len(completions) == 5
     assert all(len(c.tokens) == 3 for c in completions)
+
+
+def test_paged_continuous_batching_matches_generate(small_model):
+    cfg, iw = small_model
+    rng = np.random.RandomState(2)
+    prompts = [list(rng.randint(1, cfg.vocab_size, size=n))
+               for n in (5, 9, 3, 7, 6)]
+    eng = ContinuousBatchingEngine(iw, n_slots=2, max_len=64,
+                                   prefill_bucket=16, paged=True,
+                                   page_size=16)
+    free0 = eng.alloc.free_count
+    rids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+    completions = {c.request_id: c.tokens for c in eng.run_until_done()}
+    assert set(completions) == set(rids)
+    for p, rid in zip(prompts, rids):
+        ref = generate(iw, jnp.asarray([p], jnp.int32), 5, max_len=64)
+        ref_new = list(np.asarray(ref)[0, len(p):])
+        assert completions[rid] == ref_new, (completions[rid], ref_new)
+    # all pages released after completion
+    assert eng.alloc.free_count == free0
