@@ -122,6 +122,20 @@ int32_t sched_token_decoded(Scheduler* s, int32_t slot, int8_t eos) {
   return 0;
 }
 
+// Requeue a slot's request at the queue FRONT with updated lengths and
+// free the slot. Used for (a) admission rollback when the page pool cannot
+// hold the prompt yet, and (b) preemption-by-recompute when a growing
+// sequence runs out of pages mid-decode (the caller passes
+// prompt_len = original prompt + tokens generated so far and the remaining
+// token budget). FCFS order is preserved by the front push.
+void sched_requeue(Scheduler* s, int32_t slot, int32_t prompt_len,
+                   int32_t max_new_tokens) {
+  Slot& sl = s->slots[slot];
+  if (!sl.active) return;
+  s->queue.push_front(Request{sl.request_id, prompt_len, max_new_tokens});
+  sl = Slot{};
+}
+
 int32_t sched_num_active(Scheduler* s) {
   int32_t n = 0;
   for (const auto& sl : s->slots) n += sl.active ? 1 : 0;

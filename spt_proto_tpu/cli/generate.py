@@ -59,10 +59,12 @@ def main(argv=None):
         width = max(len(e) for e in enc)
         batch = np.zeros((len(enc), width), np.int32)
         for i, e in enumerate(enc):
-            batch[i, :len(e)] = e     # NOTE: right-pad; engine masks by len
+            batch[i, :len(e)] = e     # right-pad; true lengths passed below
+        lengths = np.asarray([len(e) for e in enc], np.int32)
         out = generate(iw, jnp.asarray(batch), args.max_new_tokens,
                        temperature=args.temperature,
-                       eos_id=tok.eos_token_id)
+                       eos_id=tok.eos_token_id,
+                       lengths=jnp.asarray(lengths))
         for i, text in enumerate(prompts):
             new = np.asarray(out)[i, width:]
             print(repr(text), '->', repr(tok.decode(new)))

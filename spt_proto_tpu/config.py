@@ -34,6 +34,7 @@ class ModelConfig:
     d_feedforward: int
     p_dropout: float = 0.0
     n_kv_heads: Optional[int] = None  # grouped-query attention; None = MHA
+    rope_base: float = 10000.0      # RoPE theta (HF rope_theta; Llama-3: 5e5)
 
     # --- tuning / sparsity stages -----------------------------------------
     d_lora: Optional[int] = None    # LoRA rank; None = no adapters
@@ -132,7 +133,7 @@ def llama_config(name: str = '7b', **kw) -> ModelConfig:
         # GQA generations (beyond the reference's menu)
         '3-8b': dict(d_model=4096, n_heads=32, n_kv_heads=8, n_layers=32,
                      d_feedforward=14336, vocab_size=128256,
-                     max_length=8192),
+                     max_length=8192, rope_base=500000.0),
     }
     base = dict(arch='llama', max_length=2048, vocab_size=32000)
     base.update(menu[name])

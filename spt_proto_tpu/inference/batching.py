@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import ctypes
 import dataclasses
+import functools
 import os
 import subprocess
 from typing import Dict, List, Optional
@@ -25,8 +26,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spt_proto_tpu.inference.engine import (KVCache, decode_step, prefill,
-                                            sample)
+from spt_proto_tpu.inference.engine import (DECODE_BUCKET, KVCache,
+                                            decode_step, grow_cache, prefill,
+                                            round_up, sample)
 from spt_proto_tpu.inference.weights import InferenceWeights
 
 _RUNTIME_DIR = os.path.join(os.path.dirname(os.path.dirname(
@@ -35,9 +37,9 @@ _RUNTIME_DIR = os.path.join(os.path.dirname(os.path.dirname(
 
 def _load_native():
     lib_path = os.path.join(_RUNTIME_DIR, 'libsptrt.so')
-    if not os.path.exists(lib_path):
-        subprocess.run(['make', '-C', _RUNTIME_DIR], check=True,
-                       capture_output=True)
+    # make is a no-op when the .so is newer than the sources
+    subprocess.run(['make', '-C', _RUNTIME_DIR], check=True,
+                   capture_output=True)
     lib = ctypes.CDLL(lib_path)
     lib.sched_create.restype = ctypes.c_void_p
     lib.sched_create.argtypes = [ctypes.c_int32, ctypes.c_int32]
@@ -62,6 +64,8 @@ def _load_native():
     lib.sched_queue_depth.argtypes = [ctypes.c_void_p]
     lib.sched_slot_request.restype = ctypes.c_int64
     lib.sched_slot_request.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.sched_requeue.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                  ctypes.c_int32, ctypes.c_int32]
     return lib
 
 
@@ -75,11 +79,58 @@ def native_scheduler_lib():
     return _LIB
 
 
+# ---------------------------------------------------------------------------
+# jitted serving steps (donated caches => in-place updates, no per-step copy)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=('temperature',),
+                   donate_argnums=(2,))
+def _decode_and_sample(iw, tokens, cache, active, rng, *, temperature):
+    """Decode + mask inactive lanes + sample, in ONE dispatch. Only the
+    per-lane length needs masking: an inactive lane's garbage column write
+    lands at its held-back position and is overwritten before it can ever
+    become attention-visible."""
+    logits, new = decode_step(iw, tokens, cache)
+    new = dataclasses.replace(
+        new, length=jnp.where(active, new.length, new.length - 1))
+    tok = sample(logits, rng, temperature=temperature)
+    return tok, new
+
+
+@functools.partial(jax.jit, static_argnames=('temperature',),
+                   donate_argnums=(2,))
+def _paged_decode_and_sample(iw, tokens, cache, active, rng, *, temperature):
+    from spt_proto_tpu.inference.paged import paged_decode_step
+    logits, new = paged_decode_step(iw, tokens, cache)
+    new = dataclasses.replace(
+        new, length=jnp.where(active, new.length, new.length - 1))
+    tok = sample(logits, rng, temperature=temperature)
+    return tok, new
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _splice_slot(cache: KVCache, slot, mk, mv, mc, new_len) -> KVCache:
+    """Write a prefilled mini-cache ([L, 1, KV, sb, D]) into `slot` of the
+    shared cache, in place under donation."""
+    start = (0, slot, 0, 0, 0)
+    return KVCache(
+        k=jax.lax.dynamic_update_slice(cache.k, mk.astype(cache.k.dtype),
+                                       start),
+        v=jax.lax.dynamic_update_slice(cache.v, mv.astype(cache.v.dtype),
+                                       start),
+        codes=jax.lax.dynamic_update_slice(
+            cache.codes, mc.astype(cache.codes.dtype), start),
+        length=cache.length.at[slot].set(new_len))
+
+
 @dataclasses.dataclass
 class _Live:
     request_id: int
     tokens: List[int]
     last_token: int
+    prompt_len: int = 0      # tokens in the cache right after prefill
+    carried: int = 0         # tokens in `tokens` that predate this prefill
+                             # (preemption carry — already inside prompt_len)
 
 
 @dataclasses.dataclass
@@ -118,17 +169,26 @@ class ContinuousBatchingEngine:
                                              page_size, max_len,
                                              dtype=iw.cfg.dtype)
             self._prefill_fn = jax.jit(paged_prefill)
-            self._decode_fn = jax.jit(paged_decode_step)
+            self._decode_fn = functools.partial(
+                _paged_decode_and_sample, temperature=temperature)
         else:
-            self.cache = KVCache.create(iw.cfg, n_slots, max_len,
+            # contiguous cache starts at one bucket and grows with the
+            # longest live sequence (decode cost tracks context, not
+            # max_len); prefill donates its mini cache, splice is in place
+            self.cap = min(max_len, DECODE_BUCKET)
+            self.cache = KVCache.create(iw.cfg, n_slots, self.cap,
                                         dtype=iw.cfg.dtype)
-            self._prefill_fn = jax.jit(prefill)
-            self._decode_fn = jax.jit(decode_step)
+            self._prefill_fn = jax.jit(prefill, donate_argnums=(2,))
+            self._decode_fn = functools.partial(
+                _decode_and_sample, temperature=temperature)
         self._prompts: Dict[int, List[int]] = {}
+        self._max_new: Dict[int, int] = {}
+        self._carry: Dict[int, List[int]] = {}  # preempted partial outputs
         self._live: Dict[int, _Live] = {}       # slot -> live state
         self._tokens = np.zeros((n_slots,), np.int32)
         self._rng = jax.random.PRNGKey(seed)
         self.completions: List[Completion] = []
+        self.n_preemptions = 0
 
     def __del__(self):
         try:
@@ -139,11 +199,20 @@ class ContinuousBatchingEngine:
     # ------------------------------------------------------------------
     def submit(self, prompt_tokens: List[int],
                max_new_tokens: int = 32) -> int:
+        if self.paged:
+            # worst case the request ever needs as the pool's sole occupant:
+            # its bucketed prompt at prefill, or its full final length
+            total = len(prompt_tokens) + max_new_tokens
+            worst = max(total, min(self._bucketed(total), self.max_len))
+            if -(-worst // self.page_size) > self.alloc.n_pages:
+                raise ValueError('request needs more pages than the pool '
+                                 'holds — it could never be scheduled')
         rid = self._lib.sched_submit(self._sched, len(prompt_tokens),
                                      max_new_tokens)
         if rid < 0:
             raise ValueError('request cannot fit in max_len')
         self._prompts[rid] = list(prompt_tokens)
+        self._max_new[rid] = max_new_tokens
         return int(rid)
 
     @property
@@ -159,16 +228,27 @@ class ContinuousBatchingEngine:
         return max(self.bucket, -(-n // self.bucket) * self.bucket)
 
     def _prefill_slot(self, slot: int, rid: int) -> None:
-        prompt = self._prompts.pop(rid)
-        s = len(prompt)
+        prompt = self._prompts[rid]
+        carry = self._carry.pop(rid, [])   # preempted partial generation
+        cache_tokens = prompt + carry
+        s = len(cache_tokens)
         sb = min(self._bucketed(s), self.max_len)
         padded = np.zeros((1, sb), np.int32)
-        padded[0, :s] = prompt
+        padded[0, :s] = cache_tokens
         if self.paged:
             from spt_proto_tpu.inference.paged import PagedKVCache
-            # allocate pages for the whole request up front (table is then
-            # fixed for the slot's lifetime); release returns them
-            self.alloc.ensure(slot, self.max_len, self.page_size)
+            # admission control: the padded prompt needs ceil(sb/ps) pages
+            # NOW; further pages are allocated lazily as the sequence grows.
+            pages_needed = -(-sb // self.page_size)
+            if self.alloc.free_count < pages_needed:
+                # pool can't hold the prompt yet — requeue at the front
+                # (FCFS preserved) and retry when other slots release pages
+                if carry:
+                    self._carry[rid] = carry
+                self._lib.sched_requeue(self._sched, slot, s,
+                                        self._max_new[rid] - len(carry))
+                return
+            self.alloc.ensure(slot, sb, self.page_size)
             table = self.alloc.table(slot,
                                      self.cache.page_indices.shape[1])
             pi = self.cache.page_indices.at[slot].set(jnp.asarray(table))
@@ -181,21 +261,21 @@ class ContinuousBatchingEngine:
                 page_indices=pi,
                 length=self.cache.length.at[slot].set(s))
         else:
-            mini = KVCache.create(self.iw.cfg, 1, self.max_len,
+            if sb > self.cap:
+                self._grow(sb)
+            mini = KVCache.create(self.iw.cfg, 1, sb,
                                   dtype=self.cache.k.dtype)
             logits, mini = self._prefill_fn(self.iw, jnp.asarray(padded),
                                             mini)
-            # splice slot cache; true length is s (not the padded sb)
-            self.cache = KVCache(
-                k=self.cache.k.at[:, slot].set(mini.k[:, 0]),
-                v=self.cache.v.at[:, slot].set(mini.v[:, 0]),
-                codes=self.cache.codes.at[:, slot].set(mini.codes[:, 0]),
-                length=self.cache.length.at[slot].set(s))
+            # splice slot cache in place; true length is s (not padded sb)
+            self.cache = _splice_slot(self.cache, slot, mini.k, mini.v,
+                                      mini.codes, s)
         self._rng, sub = jax.random.split(self._rng)
         tok = int(sample(logits[:, s - 1], sub,
                          temperature=self.temperature)[0])
-        self._live[slot] = _Live(request_id=rid, tokens=[tok],
-                                 last_token=tok)
+        self._live[slot] = _Live(request_id=rid, tokens=carry + [tok],
+                                 last_token=tok, prompt_len=s,
+                                 carried=len(carry))
         self._tokens[slot] = tok
         self._lib.sched_prefill_done(self._sched, slot)
         self._report_token(slot, tok)
@@ -207,11 +287,72 @@ class ContinuousBatchingEngine:
         if done:
             live = self._live.pop(slot)
             self.completions.append(Completion(live.request_id, live.tokens))
+            self._prompts.pop(live.request_id, None)
+            self._max_new.pop(live.request_id, None)
             if self.paged:
                 self.alloc.release(slot)
                 self.cache = dataclasses.replace(
                     self.cache,
                     page_indices=self.cache.page_indices.at[slot].set(-1))
+
+    def _grow(self, needed: int) -> None:
+        """Grow the contiguous cache to the next bucket covering `needed`."""
+        self.cap = min(round_up(needed, DECODE_BUCKET), self.max_len)
+        self.cache = grow_cache(self.cache, self.cap)
+
+    def _cache_len(self, live: _Live) -> int:
+        """Tokens currently in the slot's KV cache: the prefilled context
+        plus every decode step taken since (the freshly sampled token is
+        written by the NEXT decode step, so it does not count yet)."""
+        return live.prompt_len + len(live.tokens) - live.carried - 1
+
+    def _preempt(self, slot: int) -> None:
+        """Preemption-by-recompute (vLLM-style): release the slot's pages
+        and requeue prompt + generated-so-far as a new front-of-queue
+        request with the remaining token budget."""
+        live = self._live.pop(slot)
+        rid = live.request_id
+        self._carry[rid] = list(live.tokens)
+        remaining = self._max_new[rid] - len(live.tokens)
+        self._lib.sched_requeue(self._sched, slot,
+                                len(self._prompts[rid]) + len(live.tokens),
+                                remaining)
+        self.alloc.release(slot)
+        self.cache = dataclasses.replace(
+            self.cache,
+            page_indices=self.cache.page_indices.at[slot].set(-1))
+        self.n_preemptions += 1
+
+    def _grow_pages(self) -> None:
+        """Lazily extend page tables so every live slot can write its next
+        token. On pool exhaustion, preempt the youngest request (largest
+        id) until the oldest ones fit — memory now scales with actual
+        sequence lengths instead of n_slots * max_len."""
+        order = sorted(self._live.items(), key=lambda kv: kv[1].request_id)
+        for slot, live in order:
+            if slot not in self._live:      # preempted earlier this round
+                continue
+            while True:
+                try:
+                    added = self.alloc.ensure(slot, self._cache_len(live) + 1,
+                                              self.page_size)
+                except MemoryError:
+                    victims = [s for s in self._live if s != slot]
+                    victim = max(victims,
+                                 key=lambda s: self._live[s].request_id) \
+                        if victims else slot
+                    self._preempt(victim)
+                    if victim == slot:
+                        break
+                    continue
+                if added:
+                    table = self.alloc.table(
+                        slot, self.cache.page_indices.shape[1])
+                    self.cache = dataclasses.replace(
+                        self.cache,
+                        page_indices=self.cache.page_indices.at[slot].set(
+                            jnp.asarray(table)))
+                break
 
     # ------------------------------------------------------------------
     def step(self) -> int:
@@ -221,38 +362,26 @@ class ContinuousBatchingEngine:
         n_adm = self._lib.sched_admit(self._sched, slots, ids)
         for i in range(n_adm):
             self._prefill_slot(int(slots[i]), int(ids[i]))
+        if self.paged:
+            self._grow_pages()
 
         mask = (ctypes.c_int8 * self.n_slots)()
         n_dec = self._lib.sched_decode_mask(self._sched, mask)
         if n_dec == 0:
             return 0
         active = np.frombuffer(mask, dtype=np.int8).astype(bool).copy()
-        logits, cache = self._decode_fn(
-            self.iw, jnp.asarray(self._tokens), self.cache)
-        # only advance the cache for active slots (inactive lanes computed
-        # garbage; mask their length update and keep old K/V rows)
-        act = jnp.asarray(active)
-        if self.paged:
-            from spt_proto_tpu.inference.paged import PagedKVCache
-            # pages are disjoint per slot, so only lengths need masking:
-            # an inactive-but-owned slot rewrote its own current position
-            # (harmless, length held back), and slots with released tables
-            # (-1) wrote into the cache's reserved sink page.
-            self.cache = PagedKVCache(
-                k_pages=cache.k_pages, v_pages=cache.v_pages,
-                page_indices=self.cache.page_indices,
-                length=jnp.where(act, cache.length, self.cache.length))
-        else:
-            self.cache = KVCache(
-                k=jnp.where(act[None, :, None, None, None], cache.k,
-                            self.cache.k),
-                v=jnp.where(act[None, :, None, None, None], cache.v,
-                            self.cache.v),
-                codes=jnp.where(act[None, :, None, None, None], cache.codes,
-                                self.cache.codes),
-                length=jnp.where(act, cache.length, self.cache.length))
+        if not self.paged and self._live:
+            need = max(self._cache_len(l) for l in self._live.values()) + 1
+            if need > self.cap and self.cap < self.max_len:
+                self._grow(need)
         self._rng, sub = jax.random.split(self._rng)
-        toks = np.asarray(sample(logits, sub, temperature=self.temperature))
+        # decode + inactive-lane masking + sampling run as one jitted
+        # dispatch over the donated cache (in-place update, and only the
+        # sampled token ids [B] cross back to the host)
+        toks, self.cache = self._decode_fn(
+            self.iw, jnp.asarray(self._tokens), self.cache,
+            jnp.asarray(active), sub)
+        toks = np.asarray(toks)
         produced = 0
         for slot in range(self.n_slots):
             if not active[slot] or slot not in self._live:

@@ -90,10 +90,12 @@ def _norm(cfg: ModelConfig, p: dict, x: jax.Array) -> jax.Array:
     return _rmsnorm(p, x) if cfg.arch == 'llama' else _layernorm(p, x)
 
 
-def _apply_rope_1(x: jax.Array, positions: jax.Array) -> jax.Array:
+def _apply_rope_1(x: jax.Array, positions: jax.Array,
+                  base: float = 10000.0) -> jax.Array:
     """x [B, H, T, D] with per-batch positions [B, T]."""
     d = x.shape[-1]
-    cos, sin = rope_cos_sin(positions.reshape(-1), d, dtype=jnp.float32)
+    cos, sin = rope_cos_sin(positions.reshape(-1), d, base=base,
+                            dtype=jnp.float32)
     cos = cos.reshape(*positions.shape, d)[:, None]     # [B, 1, T, D]
     sin = sin.reshape(*positions.shape, d)[:, None]
     xf = x.astype(jnp.float32)
@@ -109,20 +111,46 @@ def _ffn(cfg: ModelConfig, p: dict, x: jax.Array) -> jax.Array:
     if cfg.ffn == FFN_ROUTED:
         probs = jax.nn.sigmoid(_dense(p['router'], xf))
         n, bs = cfg.n_ffn_blocks, cfg.ffn_block_size
+        use_gmm = cfg.ffn_impl == 'gmm' and xf.shape[0] >= 128
+        lora = 'lora_left' in p['fc1' if not cfg.ffn_gated else 'gate']
         if cfg.ffn_gated:
             view = lambda name: p[name]['kernel'].reshape(
                 cfg.d_model, n, bs).transpose(1, 0, 2)
-            y = rops.routed_ffn_gated_masked(
-                xf, probs, cfg.ffn_top_k or max(1, n // 4),
-                view('gate'), view('side'),
-                p['down']['kernel'].reshape(n, bs, cfg.d_model), act)
+            w_down = p['down']['kernel'].reshape(n, bs, cfg.d_model)
+            if lora:
+                # serve with the exact training semantics
+                # (layers/feedforward.py RoutedGatedFeedforward d_lora path):
+                # coeff = 2*prob on the base path, top n//2 blocks
+                r = p['gate']['lora_right'].shape[-1]
+                y = rops.routed_ffn_gated_lora(
+                    xf, probs, cfg.ffn_top_k or max(1, n // 2),
+                    view('gate'), view('side'), w_down,
+                    p['gate']['lora_left'],
+                    p['gate']['lora_right'].reshape(n, bs, r),
+                    p['side']['lora_left'],
+                    p['side']['lora_right'].reshape(n, bs, r),
+                    p['down']['lora_left'].reshape(n, bs, r),
+                    p['down']['lora_right'], act)
+            else:
+                y = rops.routed_ffn_gated_masked(
+                    xf, probs, cfg.ffn_top_k or max(1, n // 4),
+                    view('gate'), view('side'), w_down, act)
         else:
             w1 = p['fc1']['kernel'].reshape(cfg.d_model, n, bs).transpose(
                 1, 0, 2)
             b1 = p['fc1']['bias'].reshape(n, bs)
             w2 = p['fc2']['kernel'].reshape(n, bs, cfg.d_model)
             top_k = cfg.ffn_active_blocks
-            if cfg.ffn_impl == 'gmm' and xf.shape[0] >= 128:
+            if lora:
+                r = p['fc1']['lora_right'].shape[-1]
+                fn = rops.routed_ffn_lora_gmm if use_gmm \
+                    else rops.routed_ffn_lora
+                y = fn(xf, probs, top_k, w1, b1, w2, p['fc2']['bias'],
+                       p['fc1']['lora_left'],
+                       p['fc1']['lora_right'].reshape(n, bs, r),
+                       p['fc2']['lora_left'].reshape(n, bs, r),
+                       p['fc2']['lora_right'], act)
+            elif use_gmm:
                 y = rops.routed_ffn_gmm(xf, probs, top_k, w1, b1, w2,
                                         p['fc2']['bias'], act)
             else:
@@ -173,8 +201,8 @@ def prefill(iw: InferenceWeights, tokens: jax.Array,
         k, v = kvh(k), kvh(v)
         if cfg.arch == 'llama':
             pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
-            q = _apply_rope_1(q, pos)
-            k = _apply_rope_1(k, pos)
+            q = _apply_rope_1(q, pos, cfg.rope_base)
+            k = _apply_rope_1(k, pos, cfg.rope_base)
         # cache keeps kv_heads; computation broadcasts per query group
         k_kv, v_kv = k, v
         if cfg.kv_groups > 1:
@@ -211,6 +239,12 @@ def prefill(iw: InferenceWeights, tokens: jax.Array,
                         qz, kz, v.reshape(qz.shape), sel, block_q=blk_q,
                         block_k=blk_k, scale=scale, clamp=cfg.score_clamp)
             else:
+                if s > 1024:
+                    import warnings
+                    warnings.warn(
+                        f'sparse prefill at S={s} (not a tile multiple) '
+                        f'falls back to the O(S^2) per-row oracle — pad '
+                        f'prompts to a multiple of {blk_q}', stacklevel=2)
                 from spt_proto_tpu.ops.lookup import pq_topk_indices
                 from spt_proto_tpu.ops.sparse_attention import (
                     sparse_attention)
@@ -262,7 +296,17 @@ def prefill(iw: InferenceWeights, tokens: jax.Array,
 def decode_step(iw: InferenceWeights, tokens: jax.Array,
                 cache: KVCache) -> Tuple[jax.Array, KVCache]:
     """One token per active slot. tokens [B] int32; positions come from
-    cache.length (per-slot). Returns (logits [B, V], new cache)."""
+    cache.length (per-slot). Returns (logits [B, V], new cache).
+
+    Cache-update design (round 2): each layer computes the new token's
+    K/V/code COLUMN and attends over the existing cache (positions < pos)
+    plus the current token explicitly — the cache itself is untouched
+    inside the layer scan. After the scan, ONE scatter writes all layers'
+    columns ([L, B, KV, D] — a few hundred KB) into the cache; under
+    jit donation (donate the cache argument) that scatter is in place, so
+    per-step HBM write cost is O(L·B·H·D) instead of a full-cache rewrite.
+    The caller controls smax (length bucketing): per-step read cost then
+    tracks the actual context, not max_len — see generate()."""
     cfg = iw.cfg
     p = iw.params
     b = tokens.shape[0]
@@ -275,6 +319,9 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
 
     sparse = cfg.attention == ATTN_SPARSE_V2
     scale = cfg.d_head ** -0.5
+    kv, g = cfg.kv_heads, cfg.kv_groups
+    # strictly-cached positions; the current token is handled explicitly
+    valid = jnp.arange(smax)[None, :] < pos[:, None]      # [B, S]
 
     def layer(carry, inp):
         x = carry
@@ -284,47 +331,30 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
         k = _dense(bp['mha']['k'], hn)
         v = _dense(bp['mha']['v'], hn)
         q = q.reshape(b, 1, cfg.n_heads, cfg.d_head).transpose(0, 2, 1, 3)
-        kvh = lambda t: t.reshape(b, 1, cfg.kv_heads, cfg.d_head).transpose(
-            0, 2, 1, 3)                                  # [B, KV, 1, D]
-        k, v = kvh(k), kvh(v)
+        kvh = lambda t: t.reshape(b, 1, kv, cfg.d_head).transpose(0, 2, 1, 3)
+        k, v = kvh(k), kvh(v)                             # [B, KV, 1, D]
         if cfg.arch == 'llama':
-            q = _apply_rope_1(q, pos[:, None])
-            k = _apply_rope_1(k, pos[:, None])
-        # append to cache at per-slot positions. A one-hot masked update
-        # streams the whole cache with perfect access patterns; the
-        # equivalent scatter (.at[bidx, :, pos].set) lowers to a
-        # gather/scatter that measured ~5x slower end-to-end.
-        bidx = jnp.arange(b)
-        onehot = (jnp.arange(smax)[None, :] == pos[:, None])  # [B, S]
-        ksel = onehot[:, None, :, None]
-        k_cache = jnp.where(ksel, k[:, :, 0:1, :].astype(k_cache.dtype),
-                            k_cache)
-        v_cache = jnp.where(ksel, v[:, :, 0:1, :].astype(v_cache.dtype),
-                            v_cache)
-        valid = (jnp.arange(smax)[None, None, :]
-                 <= pos[:, None, None])                  # [B, 1, S]
-        # GQA: cache stays at kv_heads; expand views for the attention math
-        if cfg.kv_groups > 1:
-            k_full = jnp.repeat(k_cache, cfg.kv_groups, axis=1)
-            v_full = jnp.repeat(v_cache, cfg.kv_groups, axis=1)
-            c_full = jnp.repeat(c_cache, cfg.kv_groups, axis=1)
-        else:
-            k_full, v_full, c_full = k_cache, v_cache, c_cache
+            q = _apply_rope_1(q, pos[:, None], cfg.rope_base)
+            k = _apply_rope_1(k, pos[:, None], cfg.rope_base)
+        k_new = k[:, :, 0, :]                             # [B, KV, D]
+        v_new = v[:, :, 0, :]
+        # grouped-query view: [B, KV, G, D]; for MHA G == 1 per head group
+        qg = q[:, :, 0, :].reshape(b, kv, g, cfg.d_head)
+        # self-attention score of the new token against itself
+        self_s = jnp.sum(qg.astype(jnp.float32)
+                         * k_new.astype(jnp.float32)[:, :, None, :],
+                         axis=-1) * scale                 # [B, KV, G]
         if sparse:
-            qz = q[:, :, 0, :]                            # [B, H, D]
-            codes_q = _encode_codes(cfg, bp['mha']['quantizer'], qz)
-            codes_k = _encode_codes(cfg, bp['mha']['quantizer'],
-                                    k[:, :, 0, :])
-            c_cache = jnp.where(ksel, codes_k[:, :, None, :], c_cache)
-            if cfg.kv_groups > 1:
-                c_full = jnp.repeat(c_cache, cfg.kv_groups, axis=1)
-            else:
-                c_full = c_cache
+            codes_q = _encode_codes(cfg, bp['mha']['quantizer'],
+                                    qg.reshape(b, kv * g, cfg.d_head))
+            codes_q = codes_q.reshape(b, kv, g, -1)       # [B, KV, G, n_sub]
+            c_new = _encode_codes(cfg, bp['mha']['quantizer'], k_new)
+            self_s = jnp.clip(self_s, -cfg.score_clamp, cfg.score_clamp)
             # O(S * n_sub) incremental match count per head
             match = jnp.sum(
-                (c_full == codes_q[:, :, None, :]).astype(jnp.float32),
-                axis=-1)                                  # [B, H, S]
-            match = jnp.where(valid, match, -1.0)
+                (c_cache[:, :, None] == codes_q[:, :, :, None]).astype(
+                    jnp.float32), axis=-1)                # [B, KV, G, S]
+            match = jnp.where(valid[:, None, None, :], match, -1.0)
             tile_sz = 128
             use_tiles = (cfg.sparse_decode == 'tiles'
                          and smax % tile_sz == 0 and smax >= 2 * tile_sz)
@@ -333,72 +363,126 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
                 # block-sparse prefill): pool match scores per key tile,
                 # top-k over n_tiles (tiny), gather contiguous tiles.
                 # Avoids the full-row lax.top_k that dominates rows-mode.
-                h_ = cfg.n_heads
                 nt = smax // tile_sz
-                tscore = match.reshape(b, h_, nt, tile_sz).mean(-1)
+                tscore = match.reshape(b, kv, g, nt, tile_sz).mean(-1)
                 t_start = jnp.arange(nt)[None, :] * tile_sz
-                t_valid = t_start <= pos[:, None]          # [B, nt]
-                tscore = jnp.where(t_valid[:, None, :], tscore, -jnp.inf)
-                cur = (pos // tile_sz)[:, None]            # [B, 1]
+                t_valid = t_start < pos[:, None]           # [B, nt]
+                tscore = jnp.where(t_valid[:, None, None, :], tscore,
+                                   -jnp.inf)
+                # force the most recent tile (recency window)
+                cur = (jnp.maximum(pos, 1) - 1) // tile_sz  # [B]
                 tscore = jnp.where(
-                    (jnp.arange(nt)[None, :] == cur)[:, None, :],
-                    jnp.inf, tscore)                       # force self tile
+                    (jnp.arange(nt)[None, :] == cur[:, None]
+                     )[:, None, None, :], jnp.inf, tscore)
                 nsel = min(nt, max(1, nt // cfg.sparse_coeff) + 1)
-                tvals, tidx = jax.lax.top_k(tscore, nsel)  # [B, H, nsel]
+                tvals, tidx = jax.lax.top_k(tscore, nsel)  # [B,KV,G,nsel]
                 tile_ok = tvals > -jnp.inf
-                kt = k_full.reshape(b, h_, nt, tile_sz, cfg.d_head)
-                vt = v_full.reshape(b, h_, nt, tile_sz, cfg.d_head)
-                safe = jnp.maximum(tidx, 0)
+                kt = k_cache.reshape(b, kv, nt, tile_sz, cfg.d_head)
+                vt = v_cache.reshape(b, kv, nt, tile_sz, cfg.d_head)
+                safe = jnp.maximum(tidx, 0).reshape(b, kv, g * nsel)
                 kg = jnp.take_along_axis(
-                    kt, safe[..., None, None], axis=2)     # [B,H,ns,ts,D]
-                vg = jnp.take_along_axis(vt, safe[..., None, None], axis=2)
-                cols = safe[..., None] * tile_sz + jnp.arange(tile_sz)
-                ok = (cols <= pos[:, None, None, None]) & \
-                    tile_ok[..., None]                     # [B,H,ns,ts]
-                scores = jnp.einsum('bhd,bhstd->bhst', qz, kg,
+                    kt, safe[..., None, None], axis=2).reshape(
+                        b, kv, g, nsel, tile_sz, cfg.d_head)
+                vg = jnp.take_along_axis(
+                    vt, safe[..., None, None], axis=2).reshape(
+                        b, kv, g, nsel, tile_sz, cfg.d_head)
+                cols = jnp.maximum(tidx, 0)[..., None] * tile_sz \
+                    + jnp.arange(tile_sz)                  # [B,KV,G,ns,ts]
+                ok = (cols < pos[:, None, None, None, None]) & \
+                    tile_ok[..., None]
+                scores = jnp.einsum('bkgd,bkgstd->bkgst', qg, kg,
                                     preferred_element_type=jnp.float32
                                     ) * scale
                 scores = jnp.clip(scores, -cfg.score_clamp,
                                   cfg.score_clamp)
                 scores = jnp.where(ok, scores, NEG_INF)
-                flat = scores.reshape(b, h_, -1)
-                probs = jax.nn.softmax(flat, axis=-1).reshape(scores.shape)
-                probs = jnp.where(ok, probs, 0.0).astype(vg.dtype)
-                o = jnp.einsum('bhst,bhstd->bhd', probs, vg)[:, :, None, :]
+                flat = jnp.concatenate(
+                    [scores.reshape(b, kv, g, -1), self_s[..., None]],
+                    axis=-1)
+                probs = jax.nn.softmax(flat, axis=-1)
+                p_cache = jnp.where(
+                    ok, probs[..., :-1].reshape(scores.shape), 0.0
+                ).astype(vg.dtype)
+                o = jnp.einsum('bkgst,bkgstd->bkgd', p_cache, vg) \
+                    + probs[..., -1:].astype(v_new.dtype) \
+                    * v_new[:, :, None, :]
             else:
                 top_k = max(1, smax // cfg.sparse_coeff)
-                mvals, midx = jax.lax.top_k(match, top_k)  # [B, H, K]
+                mvals, midx = jax.lax.top_k(match, top_k)  # [B,KV,G,K]
                 sel_valid = mvals >= 0.0
-                kg = jnp.take_along_axis(k_full, midx[..., None], axis=2)
-                vg = jnp.take_along_axis(v_full, midx[..., None], axis=2)
-                scores = jnp.einsum('bhd,bhkd->bhk', qz, kg,
+                flat_idx = midx.reshape(b, kv, g * top_k)
+                kg = jnp.take_along_axis(
+                    k_cache, flat_idx[..., None], axis=2).reshape(
+                        b, kv, g, top_k, cfg.d_head)
+                vg = jnp.take_along_axis(
+                    v_cache, flat_idx[..., None], axis=2).reshape(
+                        b, kv, g, top_k, cfg.d_head)
+                scores = jnp.einsum('bkgd,bkgjd->bkgj', qg, kg,
                                     preferred_element_type=jnp.float32
                                     ) * scale
                 scores = jnp.clip(scores, -cfg.score_clamp,
                                   cfg.score_clamp)
                 scores = jnp.where(sel_valid, scores, NEG_INF)
-                probs = jax.nn.softmax(scores, axis=-1)
-                probs = jnp.where(sel_valid, probs, 0.0).astype(vg.dtype)
-                o = jnp.einsum('bhk,bhkd->bhd', probs, vg)[:, :, None, :]
+                flat = jnp.concatenate([scores, self_s[..., None]], -1)
+                probs = jax.nn.softmax(flat, axis=-1)
+                p_cache = jnp.where(sel_valid, probs[..., :-1],
+                                    0.0).astype(vg.dtype)
+                o = jnp.einsum('bkgj,bkgjd->bkgd', p_cache, vg) \
+                    + probs[..., -1:].astype(v_new.dtype) \
+                    * v_new[:, :, None, :]
         else:
-            scores = jnp.einsum('bhqd,bhjd->bhqj', q, k_full,
+            c_new = jnp.zeros((b, kv, c_cache.shape[-1]), c_cache.dtype)
+            scores = jnp.einsum('bkgd,bkjd->bkgj', qg, k_cache,
                                 preferred_element_type=jnp.float32) * scale
-            scores = jnp.where(valid[:, :, None, :]
-                               if valid.ndim == 3 else valid,
-                               scores, NEG_INF)
-            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-            o = jnp.einsum('bhqj,bhjd->bhqd', probs, v_full)
-        o = o.transpose(0, 2, 1, 3).reshape(b, 1, cfg.d_model)
+            scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+            flat = jnp.concatenate([scores, self_s[..., None]], -1)
+            probs = jax.nn.softmax(flat, axis=-1)
+            p_cache = jnp.where(valid[:, None, None, :], probs[..., :-1],
+                                0.0).astype(q.dtype)
+            o = jnp.einsum('bkgj,bkjd->bkgd', p_cache, v_cache) \
+                + probs[..., -1:].astype(v_new.dtype) * v_new[:, :, None, :]
+        o = o.reshape(b, 1, cfg.d_model)      # [B,KV,G,D] -> head order
         x = x + _dense(bp['mha']['o'], o)
         x = x + _ffn(cfg, bp['ffn'], _norm(cfg, bp['norm2'], x))
-        return x, (k_cache, v_cache, c_cache)
+        return x, (k_new, v_new, c_new)
 
-    x, (k_new, v_new, c_new) = jax.lax.scan(
+    x, (k_cols, v_cols, c_cols) = jax.lax.scan(
         layer, x, (p['blocks'], cache.k, cache.v, cache.codes))
-    cache = KVCache(k=k_new, v=v_new, codes=c_new, length=cache.length + 1)
+    # single column write; with the cache donated this is in place
+    n_layers = cache.k.shape[0]
+    li = jnp.arange(n_layers)[:, None]                    # [L, 1]
+    bi = jnp.arange(b)[None, :]                           # [1, B]
+    wpos = jnp.minimum(pos, smax - 1)[None, :]            # [1, B]
+    cache = KVCache(
+        k=cache.k.at[li, bi, :, wpos].set(k_cols.astype(cache.k.dtype)),
+        v=cache.v.at[li, bi, :, wpos].set(v_cols.astype(cache.v.dtype)),
+        codes=cache.codes.at[li, bi, :, wpos].set(
+            c_cols.astype(cache.codes.dtype)),
+        length=cache.length + 1)
     x = _norm(cfg, p['final_norm'], x)
     logits = _dense(p['lm_head'], x[:, 0])
     return logits, cache
+
+
+# ---------------------------------------------------------------------------
+# cache growth (length bucketing)
+# ---------------------------------------------------------------------------
+
+DECODE_BUCKET = 256   # multiple of the sparse tile size (128)
+
+
+def round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+def grow_cache(cache: KVCache, new_len: int) -> KVCache:
+    """Extend smax by zero-padding (donated: the old buffers free early).
+    Decode cost tracks the current bucket instead of the final max_len."""
+    pad = new_len - cache.k.shape[3]
+    w = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
+    return KVCache(k=jnp.pad(cache.k, w), v=jnp.pad(cache.v, w),
+                   codes=jnp.pad(cache.codes, w), length=cache.length)
 
 
 # ---------------------------------------------------------------------------
@@ -428,17 +512,38 @@ def sample(logits: jax.Array, rng: Optional[jax.Array] = None, *,
 def generate(iw: InferenceWeights, prompts: jax.Array, max_new_tokens: int,
              *, max_len: Optional[int] = None, temperature: float = 0.0,
              rng: Optional[jax.Array] = None,
-             eos_id: Optional[int] = None) -> jax.Array:
-    """Batch generate. prompts [B, S_prompt] -> [B, S_prompt + max_new]."""
+             eos_id: Optional[int] = None,
+             lengths: Optional[jax.Array] = None) -> jax.Array:
+    """Batch generate. prompts [B, S_prompt] -> [B, S_prompt + max_new].
+
+    Ragged batches: right-pad the prompts and pass the true per-row
+    `lengths [B]`. The cache length is then set per row (so decode positions
+    and attention masks ignore the padding — pads sit to the RIGHT of every
+    real token, so causality already hides them during prefill) and the
+    first token is sampled at each row's own last-prompt-token logits.
+    Generated tokens still land at out[:, S_prompt + i] for every row.
+    """
     b, s0 = prompts.shape
-    max_len = max_len or (s0 + max_new_tokens)
-    cache = KVCache.create(iw.cfg, b, max_len, dtype=iw.cfg.dtype)
-    prefill_fn = jax.jit(prefill)
-    step_fn = jax.jit(decode_step)
+    limit = max_len or (s0 + max_new_tokens)
+    # start at the smallest bucket that fits the prompt; grow as decoding
+    # proceeds so per-step cost tracks the live context, not the limit
+    cap = min(max(s0, round_up(s0 + 1, DECODE_BUCKET)), max(limit, s0))
+    cache = KVCache.create(iw.cfg, b, cap, dtype=iw.cfg.dtype)
+    prefill_fn = jax.jit(prefill, donate_argnums=(2,))
+    step_fn = jax.jit(decode_step, donate_argnums=(2,))
     logits, cache = prefill_fn(iw, prompts, cache)
+    if lengths is not None:
+        lengths = jnp.asarray(lengths, jnp.int32)
+        max_pos = int(lengths.max())
+        cache = dataclasses.replace(cache, length=lengths)
+        last = jnp.take_along_axis(
+            logits, (lengths - 1)[:, None, None], axis=1)[:, 0]
+    else:
+        max_pos = s0
+        last = logits[:, -1]
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     out = [prompts]
-    tok = sample(logits[:, -1], rng, temperature=temperature)
+    tok = sample(last, rng, temperature=temperature)
     done = jnp.zeros((b,), bool) if eos_id is not None else None
     for i in range(max_new_tokens):
         out.append(tok[:, None])
@@ -448,7 +553,11 @@ def generate(iw: InferenceWeights, prompts: jax.Array, max_new_tokens: int,
                 break
         if i == max_new_tokens - 1:
             break
+        if max_pos + 1 > cap and cap < limit:
+            cap = min(round_up(max_pos + 1, DECODE_BUCKET), limit)
+            cache = grow_cache(cache, cap)
         rng, sub = jax.random.split(rng)
         logits, cache = step_fn(iw, tok, cache)
+        max_pos += 1
         tok = sample(logits, sub, temperature=temperature)
     return jnp.concatenate(out, axis=1)

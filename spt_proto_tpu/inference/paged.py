@@ -156,10 +156,14 @@ def paged_attention_op(q, k_pages, v_pages, lengths, page_indices, *,
             q = jnp.pad(q, widths3)
             k_pages = jnp.pad(k_pages, widths4)
             v_pages = jnp.pad(v_pages, widths4)
+        # the stock kernel requires pages_per_sequence % block == 0: pick
+        # the largest divisor of pps that is <= 8
+        pps = page_indices.shape[1]
+        block = max(b for b in range(1, min(8, pps) + 1) if pps % b == 0)
         out = paged_attention(
             q * scale, k_pages, v_pages, lengths,
             jnp.maximum(page_indices, 0),
-            pages_per_compute_block=max(1, min(8, page_indices.shape[1])))
+            pages_per_compute_block=block)
         return out[..., :d]
     return paged_attention_ref(q, k_pages, v_pages, lengths, page_indices,
                                scale=scale)
@@ -234,8 +238,10 @@ def paged_decode_step(iw: InferenceWeights, tokens: jax.Array,
         k = k.reshape(b, cfg.kv_heads, cfg.d_head)       # [B, KV, D]
         v = v.reshape(b, cfg.kv_heads, cfg.d_head)
         if cfg.arch == 'llama':
-            q = _apply_rope_1(q[:, :, None, :], pos[:, None])[:, :, 0]
-            k = _apply_rope_1(k[:, :, None, :], pos[:, None])[:, :, 0]
+            q = _apply_rope_1(q[:, :, None, :], pos[:, None],
+                              cfg.rope_base)[:, :, 0]
+            k = _apply_rope_1(k[:, :, None, :], pos[:, None],
+                              cfg.rope_base)[:, :, 0]
         # write new K/V into the page slot
         k_pages = k_pages.at[:, write_page, slot_in_page].set(
             k.transpose(1, 0, 2).astype(k_pages.dtype))

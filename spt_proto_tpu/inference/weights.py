@@ -75,9 +75,18 @@ class InferenceWeights:
             b_out['mha']['quantizer'] = blocks['mha']['quantizer']
         ffn_names = ('gate', 'side', 'down') if cfg.ffn_gated \
             else ('fc1', 'fc2')
+        routed = 'router' in blocks['ffn']
         for name in ffn_names:
-            b_out['ffn'][name] = fold_lora(blocks['ffn'][name])
-        if 'router' in blocks['ffn']:
+            if routed and cfg.d_lora:
+                # routed + LoRA must NOT fold: training scales the frozen
+                # base path by coeff = 2 * router_prob while the LoRA path
+                # is unscaled (ref tuning/lora_ffn.py:92-111) — folding
+                # would apply coeff to the adapter too. Keep factors
+                # separate; _ffn routes through routed_ffn_lora.
+                b_out['ffn'][name] = dict(blocks['ffn'][name])
+            else:
+                b_out['ffn'][name] = fold_lora(blocks['ffn'][name])
+        if routed:
             b_out['ffn']['router'] = blocks['ffn']['router']
         out['blocks'] = b_out
         out['final_norm'] = p['final_norm']
@@ -90,12 +99,14 @@ class InferenceWeights:
 
         if quant == 'int8':
             # quantize the big per-layer GEMMs (weight-only); biases, norms,
-            # router, codebook stay fp
+            # router, codebook stay fp. Routed-FFN kernels are consumed as
+            # reshaped per-block views (not via _dense), so they stay fp too.
             for name in ('q', 'k', 'v', 'o'):
                 out['blocks']['mha'][name]['kernel'] = quantize_int8(
                     out['blocks']['mha'][name]['kernel'])
-            for name in ffn_names:
-                out['blocks']['ffn'][name]['kernel'] = quantize_int8(
-                    out['blocks']['ffn'][name]['kernel'])
+            if not routed:
+                for name in ffn_names:
+                    out['blocks']['ffn'][name]['kernel'] = quantize_int8(
+                        out['blocks']['ffn'][name]['kernel'])
             out['lm_head']['kernel'] = quantize_int8(out['lm_head']['kernel'])
         return InferenceWeights(cfg=cfg, params=out, quant=quant)

@@ -127,6 +127,14 @@ class MultiheadAttention(nn.Module):
                                                 scale=scale,
                                                 clamp=cfg.score_clamp)
         else:
+            if cfg.attn_impl in ('block', 'pallas') and s > 1024:
+                import warnings
+                warnings.warn(
+                    f'sparse attention at S={s} (not a multiple of {blk_q}) '
+                    f'falls back to the per-row oracle, which materializes '
+                    f'the full [S, S] PQ match matrix — pad the sequence to '
+                    f'a tile multiple to stay on the block-sparse path',
+                    stacklevel=2)
             top_k = max(1, s // cfg.sparse_coeff)
             idx = pq_topk_indices(q_codes, k_codes, top_k=top_k,
                                   n_codewords=cfg.n_codewords)
@@ -147,7 +155,7 @@ class MultiheadAttention(nn.Module):
         v = kv(self.linear_v(x))
         if cfg.arch == 'llama':
             cos, sin = rope_cos_sin(jnp.arange(s), cfg.d_head,
-                                    dtype=jnp.float32)
+                                    base=cfg.rope_base, dtype=jnp.float32)
             q = apply_rope(q.astype(jnp.float32), cos, sin).astype(cfg.dtype)
             k = apply_rope(k.astype(jnp.float32), cos, sin).astype(cfg.dtype)
 

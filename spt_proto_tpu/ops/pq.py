@@ -1,4 +1,5 @@
-"""Product-quantization core math (pure jnp; Pallas kernel in ops/pallas/pq_cdist.py).
+"""Product-quantization core math (pure jnp — the L2 form lowers to MXU
+matmuls directly, so no hand-written kernel is needed; see pq_distances_l2).
 
 Reference parity: naive_gpt/layers/basic/quantizer.py (PQBase forward modes
 encode/decode/quantize/train) and extension/cdist.cu (batched L1 cdist +

@@ -245,13 +245,16 @@ def capacity_dispatch(probs: jax.Array, top_k: int, capacity: int):
     """Build gather/scatter plan: for each block, up to `capacity` token slots.
 
     Returns (token_idx [n, capacity] int32 index into T (T = pad sentinel),
-             slot_valid [n, capacity] bool). Tokens beyond capacity drop.
+             slot_valid [n, capacity] bool,
+             n_dropped scalar int32 — assignments beyond capacity, silently
+             dropped from the output; callers should surface this).
     """
     t, n = probs.shape
     gates = router_gates(probs, top_k)                     # [T, n] bool
     # position of each token within its block's token list
     pos = jnp.cumsum(gates.astype(jnp.int32), axis=0) - 1  # [T, n]
     keep = gates & (pos < capacity)
+    n_dropped = jnp.sum(gates) - jnp.sum(keep)
     # scatter token ids into [n, capacity]
     token_idx = jnp.full((n, capacity), t, dtype=jnp.int32)
     bb = jnp.broadcast_to(jnp.arange(n)[None, :], (t, n))
@@ -262,7 +265,7 @@ def capacity_dispatch(probs: jax.Array, top_k: int, capacity: int):
                              ].set(jnp.where(keep, tt, t).reshape(-1),
                                    mode='drop')
     valid = token_idx < t
-    return token_idx, valid
+    return token_idx, valid, n_dropped
 
 
 def routed_ffn_gather(x: jax.Array, probs: jax.Array, top_k: int,
@@ -276,7 +279,15 @@ def routed_ffn_gather(x: jax.Array, probs: jax.Array, top_k: int,
     n = w1.shape[0]
     capacity = int(-(-t * top_k * capacity_factor // n))
     capacity = max(8, min(t, capacity))
-    token_idx, valid = capacity_dispatch(probs, top_k, capacity)
+    token_idx, valid, n_dropped = capacity_dispatch(probs, top_k, capacity)
+    # overflow is a silent accuracy loss — make it loud (prints only when
+    # a drop actually happens; no cost on the clean path)
+    jax.lax.cond(
+        n_dropped > 0,
+        lambda d: jax.debug.print(
+            'routed_ffn_gather: {d} token-block assignments dropped '
+            '(capacity overflow — raise capacity_factor)', d=d),
+        lambda d: None, n_dropped)
     xpad = jnp.concatenate([x, jnp.zeros((1, d_model), x.dtype)], axis=0)
     xg = xpad[token_idx]                                    # [n, cap, d]
     h = activation(jnp.einsum('ncd,ndh->nch', xg, w1) + b1[:, None, :])

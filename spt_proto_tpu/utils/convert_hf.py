@@ -99,8 +99,14 @@ def convert_llama(hf_model, cfg: ModelConfig) -> Any:
         flat[f'blocks/ffn/{ours}/kernel'] = _stack(
             sd, n, pre + 'mlp.' + theirs + '.weight', transpose=True)
     flat['final_norm/scale'] = _np(sd.pop('model.norm.weight'))
-    flat['lm_head/kernel'] = np.ascontiguousarray(
-        _np(sd.pop('lm_head.weight')).T)
+    if 'lm_head.weight' in sd:
+        flat['lm_head/kernel'] = np.ascontiguousarray(
+            _np(sd.pop('lm_head.weight')).T)
+    else:
+        # tied-embedding checkpoints omit lm_head (tie_word_embeddings=True):
+        # the logit projection is the token embedding transposed
+        flat['lm_head/kernel'] = np.ascontiguousarray(
+            flat['embedding/embedding'].T)
     _check_consumed(sd)
     return unflatten(flat)
 
@@ -137,7 +143,8 @@ def config_from_hf(hf_config) -> ModelConfig:
             else n_kv,
             max_length=hf_config.max_position_embeddings,
             vocab_size=hf_config.vocab_size,
-            d_feedforward=hf_config.intermediate_size, p_dropout=0.0)
+            d_feedforward=hf_config.intermediate_size, p_dropout=0.0,
+            rope_base=float(getattr(hf_config, 'rope_theta', 10000.0)))
     raise ValueError(f'unsupported model type {mt!r}')
 
 

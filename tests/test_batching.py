@@ -96,6 +96,40 @@ def test_continuous_batching_more_requests_than_slots(small_model):
     assert all(len(c.tokens) == 3 for c in completions)
 
 
+def test_paged_tiny_pool_admission_and_preemption(small_model):
+    """A page pool far smaller than n_slots * max_len must still serve
+    every request correctly: admission waits for pages, page tables grow
+    lazily as sequences extend, and pool exhaustion preempts the youngest
+    request (recompute) instead of wedging the engine (ADVICE r1: admission
+    used to reserve max_len pages up front and raise MemoryError)."""
+    cfg, iw = small_model
+    rng = np.random.RandomState(3)
+    prompts = [list(rng.randint(1, cfg.vocab_size, size=n))
+               for n in (9, 7, 5, 8)]
+    # 6 pages of 8 tokens = 48 token slots, vs 4 slots * max_len 64 = 256
+    eng = ContinuousBatchingEngine(iw, n_slots=4, max_len=64,
+                                   prefill_bucket=8, paged=True,
+                                   page_size=8, n_pages=6)
+    free0 = eng.alloc.free_count
+    rids = [eng.submit(p, max_new_tokens=8) for p in prompts]
+    completions = {c.request_id: c.tokens for c in eng.run_until_done()}
+    assert set(completions) == set(rids)
+    for p, rid in zip(prompts, rids):
+        ref = generate(iw, jnp.asarray([p], jnp.int32), 8, max_len=64)
+        ref_new = list(np.asarray(ref)[0, len(p):])
+        assert completions[rid] == ref_new, (completions[rid], ref_new)
+    assert eng.alloc.free_count == free0
+
+
+def test_paged_oversized_request_rejected(small_model):
+    cfg, iw = small_model
+    eng = ContinuousBatchingEngine(iw, n_slots=1, max_len=64,
+                                   prefill_bucket=8, paged=True,
+                                   page_size=8, n_pages=2)
+    with pytest.raises(ValueError):
+        eng.submit([1] * 10, max_new_tokens=20)   # 30 tokens > 16 slots
+
+
 def test_paged_continuous_batching_matches_generate(small_model):
     cfg, iw = small_model
     rng = np.random.RandomState(2)

@@ -49,6 +49,24 @@ def test_llama_parity():
     _parity(hf, tokens.astype(np.int64))
 
 
+def test_llama3_style_parity():
+    """Llama-3-style config: non-default rope_theta + tied embeddings.
+
+    Guards the rope_base threading (config_from_hf must read
+    hf_config.rope_theta) and the tied-lm_head fallback in convert_llama."""
+    hf_cfg = transformers.LlamaConfig(
+        hidden_size=64, num_hidden_layers=2, intermediate_size=128,
+        num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, vocab_size=128,
+        rope_theta=500000.0, tie_word_embeddings=True)
+    torch.manual_seed(3)
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+    cfg, _ = convert_hf.convert(hf)
+    assert cfg.rope_base == 500000.0
+    tokens = np.random.RandomState(3).randint(0, 128, size=(2, 16))
+    _parity(hf, tokens.astype(np.int64))
+
+
 def test_llama_gqa_parity():
     hf_cfg = transformers.LlamaConfig(
         hidden_size=64, num_hidden_layers=2, intermediate_size=128,

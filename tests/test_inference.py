@@ -78,6 +78,34 @@ def test_lora_folding_preserves_logits():
                                atol=2e-4)
 
 
+@pytest.mark.parametrize('arch', ['opt', 'llama'])
+def test_full_upgrade_prefill_parity(arch):
+    """Serving a full_upgrade model (LoRA + routed FFN + sparse MHA — the
+    flagship config) must reproduce the training model's forward exactly:
+    the routed-LoRA path must keep coeff = 2*router_prob semantics and the
+    training top-k defaults (ADVICE r1: folding LoRA into routed kernels
+    silently changed both)."""
+    cfg, params = setup_model(arch, d_codeword=4, n_codewords=8)
+    cfg2, params2 = surgery.full_upgrade(cfg, params, jax.random.PRNGKey(3),
+                                         d_lora=4)
+    # perturb LoRA right factors so the adapter path is non-trivial
+    from spt_proto_tpu.utils.tree import flatten, unflatten
+    flat = flatten(params2)
+    for k in flat:
+        if 'lora_right' in k:
+            flat[k] = flat[k] + 0.05 * np.random.RandomState(0).randn(
+                *flat[k].shape).astype(np.float32)
+    params2 = unflatten(flat)
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (2, 8), 0,
+                                cfg2.vocab_size)
+    ref = DecoderLM(cfg=cfg2).apply({'params': params2}, tokens)['logits']
+    iw = InferenceWeights.from_params(cfg2, params2, dtype=jnp.float32)
+    cache = KVCache.create(cfg2, 2, 8, dtype=jnp.float32)
+    logits, _ = jax.jit(prefill)(iw, tokens, cache)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               atol=5e-4)
+
+
 def test_sparse_decode_runs_and_uses_topk():
     cfg, params = setup_model('opt', attention='sparse_v2', d_codeword=4,
                               n_codewords=8, sparse_coeff=4)
@@ -112,6 +140,30 @@ def test_generate_greedy_deterministic():
     ref = model.apply({'params': params}, out1[:, :-1])['logits']
     np.testing.assert_array_equal(np.asarray(out1[:, 4:]),
                                   np.asarray(jnp.argmax(ref[:, 3:], -1)))
+
+
+def test_generate_ragged_prompts_match_single():
+    """A right-padded ragged batch with per-row lengths must generate the
+    same continuation for each row as an unpadded single-row generate
+    (ADVICE r1: pads used to count as context and sampling read the pad
+    position's logits)."""
+    cfg, params = setup_model('opt')
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    rs = np.random.RandomState(11)
+    p0 = rs.randint(0, cfg.vocab_size, size=(6,)).astype(np.int32)
+    p1 = rs.randint(0, cfg.vocab_size, size=(3,)).astype(np.int32)
+    width = 6
+    batch = np.zeros((2, width), np.int32)
+    batch[0] = p0
+    batch[1, :3] = p1
+    out = np.asarray(generate(iw, jnp.asarray(batch), 4,
+                              lengths=jnp.asarray([6, 3])))
+    solo0 = np.asarray(generate(iw, jnp.asarray(p0[None]), 4,
+                                max_len=width + 4))
+    solo1 = np.asarray(generate(iw, jnp.asarray(p1[None]), 4,
+                                max_len=width + 4))
+    np.testing.assert_array_equal(out[0, width:], solo0[0, 6:])
+    np.testing.assert_array_equal(out[1, width:], solo1[0, 3:])
 
 
 def test_int8_quantization_error_small():
