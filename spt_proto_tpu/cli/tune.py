@@ -38,6 +38,10 @@ def main(argv=None):
     p.add_argument('--remat', action='store_true')
     p.add_argument('--mesh_data', type=int, default=None)
     p.add_argument('--mesh_model', type=int, default=None)
+    p.add_argument('--fsdp', action='store_true',
+                   help='ZeRO-3-equivalent: shard params + optimizer '
+                        "state over the 'data' axis "
+                        '(ref 4-sparse-tuning-1.py DeepSpeed stage 3)')
     p.add_argument('--stages', type=str,
                    default='lora,ffn,mha_v1,mha_v2',
                    help='comma-separated upgrade stages to apply')
@@ -92,6 +96,7 @@ def main(argv=None):
     params, history = train_loop(
         cfg, params, batches, lr=args.lr, weight_decay=args.weight_decay,
         max_steps=args.steps, log_every=10, log_fn=log, mesh=mesh,
+        fsdp=args.fsdp,
         checkpoint_dir=args.out + '-trainstate',
         checkpoint_every=args.save_every, resume=args.resume)
 

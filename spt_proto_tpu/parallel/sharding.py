@@ -3,8 +3,16 @@
 Path-pattern -> PartitionSpec rules for the DecoderLM param tree (stacked
 [n_layers, ...] leading axis from nn.scan). Replaces the reference's
 ZeRO-3 parameter sharding (script/4-sparse-tuning-1.py:172-175) with
-explicit NamedSharding: tensor-parallel on 'model' (heads / FFN blocks /
-vocab), optionally fully-sharded on 'data' for ZeRO-like memory scaling.
+explicit NamedSharding:
+
+  * tensor-parallel on 'model' (heads / FFN blocks / vocab) — always on;
+  * `fsdp=True` additionally shards the stacked-layer axis of every block
+    parameter (and the big top-level embeddings/head) on 'data', which is
+    the ZeRO-3 equivalent: parameters AND optimizer state (optax states
+    mirror the param shardings) are partitioned across data-parallel
+    ranks, so per-device memory shrinks ~linearly with DP width; XLA
+    inserts the per-layer all-gathers inside the scan exactly where
+    DeepSpeed would gather ZeRO-3 shards.
 
 Any rule here is a performance choice, not a correctness one — pjit inserts
 the collectives implied by whatever shardings we pick.
@@ -15,6 +23,7 @@ import re
 from typing import Any
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
@@ -59,24 +68,37 @@ _TOP_RULES = [
     (r'^lm_head/kernel$', P(None, 'model')),
 ]
 
+# ZeRO-3-equivalent overrides: shard the big top-level matrices on 'data'
+# along a dim 'model' does not already occupy
+_TOP_RULES_FSDP = [
+    (r'^embedding/embedding$', P('model', 'data')),
+    (r'^embedding/lora_left$', P('model', None)),
+    (r'^embedding/lora_right$', P(None, None)),
+    (r'^learned_pe/embedding$', P(None, 'data')),
+    (r'^final_norm/', P(None)),
+    (r'^lm_head/kernel$', P('data', 'model')),
+]
 
-def spec_for_path(path: str):
-    for pat, spec in _TOP_RULES:
+
+def spec_for_path(path: str, fsdp: bool = False):
+    for pat, spec in (_TOP_RULES_FSDP if fsdp else _TOP_RULES):
         if re.search(pat, path):
             return spec
     if path.startswith('blocks/'):
         for pat, spec in _BLOCK_RULES:
             if re.search(pat, path):
-                return P(None, *spec)  # leading stacked-layer axis
+                # leading stacked-layer axis; under fsdp it is the ZeRO
+                # shard axis (each DP rank stores n_layers/n_data layers)
+                return P('data' if fsdp else None, *spec)
     return None  # replicate
 
 
-def param_specs(params: Any) -> Any:
+def param_specs(params: Any, fsdp: bool = False) -> Any:
     """PartitionSpec pytree matching the param tree."""
     flat = flatten(params)
     specs = {}
     for path, leaf in flat.items():
-        spec = spec_for_path(path)
+        spec = spec_for_path(path, fsdp=fsdp)
         if spec is None:
             spec = P()
         # guard: spec rank must not exceed leaf rank
@@ -87,14 +109,37 @@ def param_specs(params: Any) -> Any:
     return unflatten(specs)
 
 
-def param_shardings(mesh: Mesh, params: Any) -> Any:
-    return jax.tree.map(lambda s: NamedSharding(mesh, s), param_specs(params),
-                        is_leaf=lambda x: isinstance(x, P))
+def _fit_spec(mesh: Mesh, spec: P, shape) -> P:
+    """Strip mesh axes from dims they do not divide evenly (device_put
+    rejects uneven shardings; e.g. n_layers=2 over data=4)."""
+    out = []
+    for dim, entry in enumerate(spec):
+        if entry is None:
+            out.append(None)
+            continue
+        axes = entry if isinstance(entry, tuple) else (entry,)
+        kept = []
+        for ax in axes:
+            size = mesh.shape[ax]
+            prod = int(np.prod([mesh.shape[a] for a in kept] or [1]))
+            if size > 1 and shape[dim] % (prod * size) != 0:
+                continue
+            kept.append(ax)
+        out.append(tuple(kept) if len(kept) > 1 else
+                   (kept[0] if kept else None))
+    return P(*out)
 
 
-def shard_params(mesh: Mesh, params: Any) -> Any:
+def param_shardings(mesh: Mesh, params: Any, fsdp: bool = False) -> Any:
+    specs = param_specs(params, fsdp=fsdp)
+    return jax.tree.map(
+        lambda s, leaf: NamedSharding(mesh, _fit_spec(mesh, s, leaf.shape)),
+        specs, params, is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_params(mesh: Mesh, params: Any, fsdp: bool = False) -> Any:
     """Place params onto the mesh with the canonical shardings."""
-    return jax.device_put(params, param_shardings(mesh, params))
+    return jax.device_put(params, param_shardings(mesh, params, fsdp=fsdp))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -184,10 +184,13 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
                checkpoint_dir: Optional[str] = None,
                checkpoint_every: int = 500,
                resume: bool = False,
-               mesh=None) -> tuple[Any, list]:
+               mesh=None, fsdp: bool = False) -> tuple[Any, list]:
     """Single-host training loop. With `mesh`, params/batches are placed
     with the canonical shardings and the step is jitted over the mesh.
     freeze_base=False enables full fine-tuning (no trainable masking).
+    `fsdp=True` (requires mesh) additionally shards params + optimizer
+    state across the 'data' axis — the reference's DeepSpeed ZeRO-3 mode
+    (script/4-sparse-tuning-1.py:172-175) expressed as sharding specs.
 
     pq_train_every: arm the PQ codebook aux loss every K steps (the
     reference's `trigger` buffer mechanism, sparse/attention.py:98-104 —
@@ -207,7 +210,7 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
     if mesh is not None:
         from spt_proto_tpu.parallel.sharding import (batch_sharding,
                                                      shard_params)
-        params = shard_params(mesh, params)
+        params = shard_params(mesh, params, fsdp=fsdp)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     if resume and checkpoint_dir is not None:
         import os
