@@ -81,6 +81,7 @@ def main(argv=None):
                 alloc.ensure(slot, args.max_len, ps)
                 pi.append(alloc.table(slot, cache.page_indices.shape[1]))
             cache = PagedKVCache(cache.k_pages, cache.v_pages,
+                                 cache.c_pages,
                                  jnp.asarray(np.stack(pi)), cache.length)
             logits, cache = jax.jit(paged_prefill)(iw, prompts, cache)
             step = paged_decode_step

@@ -58,6 +58,15 @@ class ModelConfig:
     attn_impl: str = 'ref'           # 'ref' (jnp) | 'pallas'
     ffn_impl: str = 'masked'         # 'masked' | 'gather' | 'pallas'
     remat: bool = False              # rematerialize blocks (training memory)
+    # --- context (sequence) parallelism ------------------------------------
+    # When True the model runs INSIDE a shard_map whose `cp_axis` shards the
+    # sequence: dense attention becomes ring attention (ops/ring_attention),
+    # RoPE/positions are offset by the shard index. Use via
+    # trainer.make_cp_train_step. Dense/v1 attention only (the PQ-sparse
+    # path is itself the short-context memory lever; composing both is
+    # future work).
+    context_parallel: bool = False
+    cp_axis: str = 'sp'
 
     # ----------------------------------------------------------------------
     @property
@@ -109,6 +118,9 @@ class ModelConfig:
         if self.ffn == FFN_ROUTED:
             assert self.ffn_block_size is not None
             assert self.d_feedforward % self.ffn_block_size == 0
+        if self.context_parallel:
+            assert self.attention != ATTN_SPARSE_V2, \
+                'context parallelism supports dense/v1 attention only'
 
 
 # Canonical model menu (ref script/1-convert.py:202-206)

@@ -253,12 +253,13 @@ class ContinuousBatchingEngine:
                                      self.cache.page_indices.shape[1])
             pi = self.cache.page_indices.at[slot].set(jnp.asarray(table))
             mini = PagedKVCache(self.cache.k_pages, self.cache.v_pages,
-                                pi[slot][None], jnp.zeros((1,), jnp.int32))
+                                self.cache.c_pages, pi[slot][None],
+                                jnp.zeros((1,), jnp.int32))
             logits, mini = self._prefill_fn(self.iw, jnp.asarray(padded),
                                             mini)
             self.cache = PagedKVCache(
                 k_pages=mini.k_pages, v_pages=mini.v_pages,
-                page_indices=pi,
+                c_pages=mini.c_pages, page_indices=pi,
                 length=self.cache.length.at[slot].set(s))
         else:
             if sb > self.cap:

@@ -63,7 +63,9 @@ def _dense(p: dict, x: jax.Array) -> jax.Array:
     kernel = p['kernel']
     if isinstance(kernel, dict):        # int8 weight-only
         from spt_proto_tpu.ops.pallas.int8_matmul import int8_matmul
-        y = int8_matmul(x, kernel['q'], kernel['scale'])
+        # q is N-padded at quantization time; true width = scale width
+        y = int8_matmul(x, kernel['q'],
+                        kernel['scale'])[..., :kernel['scale'].shape[-1]]
     else:
         y = x @ kernel
     if 'bias' in p:

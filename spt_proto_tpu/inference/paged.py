@@ -1,13 +1,25 @@
 """Paged KV cache: non-contiguous HBM pages + block tables.
 
 North-star addition ("paged/tiled HBM layout"): instead of one contiguous
-[B, S_max] cache per slot, K/V live in a fixed pool of pages
-[L, H, n_pages, page_size, D]; each slot owns a per-sequence page table.
-Memory scales with actual sequence lengths, not worst case, so more
-concurrent sequences fit. Page ownership (free list, lazy growth, release)
-is managed by the native C++ allocator in runtime/scheduler.cc; the decode
-attention over pages uses the stock Pallas paged_attention kernel on TPU
-and a gather-based jnp reference elsewhere.
+[B, S_max] cache per slot, K/V live in a fixed pool of pages; each slot
+owns a per-sequence LOGICAL page table. Memory scales with actual sequence
+lengths, not worst case, so more concurrent sequences fit. Page ownership
+(free list, lazy growth, release) is managed by the native C++ allocator
+in runtime/scheduler.cc.
+
+Pool layout (round 2): the layer dimension is MERGED into the page axis —
+pools are [KV, L*n_pages + 1, page_size, D] and layer l's copy of logical
+page p lives at physical page l*n_pages + p (the final page is a shared
+write sink for released slots). Two wins over the previous [L, KV, N, ...]
+layout:
+
+  * the decode layer scan carries the pools and performs only a tiny
+    per-layer column scatter (in place under donation) — no per-layer
+    pool slicing / wholesale rewrite;
+  * a parallel CODE-page pool [KV, L*N+1, ps, n_sub] makes the pages
+    double as PQ selection tiles: sparse decode gathers code pages
+    (cheap ints), scores pages by PQ match count, and reads only the
+    top pages of K/V — the flagship sparse model now serves paged.
 """
 from __future__ import annotations
 
@@ -19,9 +31,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spt_proto_tpu.config import ModelConfig
+from spt_proto_tpu.config import ATTN_SPARSE_V2, ModelConfig
 from spt_proto_tpu.inference.engine import (NEG_INF, _apply_rope_1, _dense,
-                                            _ffn, _norm)
+                                            _encode_codes, _ffn, _norm)
 from spt_proto_tpu.inference.weights import InferenceWeights
 from spt_proto_tpu.models.decoder import PE_OFFSET
 
@@ -29,29 +41,36 @@ from spt_proto_tpu.models.decoder import PE_OFFSET
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PagedKVCache:
-    k_pages: jax.Array       # [L, H, n_pages, page_size, D]
-    v_pages: jax.Array       # [L, H, n_pages, page_size, D]
-    page_indices: jax.Array  # [B, pages_per_seq] int32, -1 = unassigned
+    k_pages: jax.Array       # [KV, L*n_pages + 1, page_size, D]
+    v_pages: jax.Array       # [KV, L*n_pages + 1, page_size, D]
+    c_pages: jax.Array       # [KV, L*n_pages + 1, page_size, n_sub] int32
+    page_indices: jax.Array  # [B, pages_per_seq] int32 LOGICAL, -1 = none
     length: jax.Array        # [B] int32
 
     @staticmethod
     def create(cfg: ModelConfig, batch: int, n_pages: int, page_size: int,
                max_len: int, dtype=jnp.bfloat16) -> 'PagedKVCache':
-        """Allocates n_pages + 1 physical pages: the last page is a
-        reserved write sink — decode writes from slots with no page table
-        (-1 entries, e.g. released continuous-batching lanes) land there
+        """Allocates L*n_pages + 1 physical pages: the last is a reserved
+        write sink — decode writes from slots with no page table (-1
+        entries, e.g. released continuous-batching lanes) land there
         instead of corrupting a real page."""
         l, h, d = cfg.n_layers, cfg.kv_heads, cfg.d_head
+        n_sub = cfg.n_subspaces if cfg.attention == ATTN_SPARSE_V2 else 1
         pps = -(-max_len // page_size)
         return PagedKVCache(
-            k_pages=jnp.zeros((l, h, n_pages + 1, page_size, d), dtype),
-            v_pages=jnp.zeros((l, h, n_pages + 1, page_size, d), dtype),
+            k_pages=jnp.zeros((h, l * n_pages + 1, page_size, d), dtype),
+            v_pages=jnp.zeros((h, l * n_pages + 1, page_size, d), dtype),
+            c_pages=jnp.zeros((h, l * n_pages + 1, page_size, n_sub),
+                              jnp.int32),
             page_indices=jnp.full((batch, pps), -1, jnp.int32),
             length=jnp.zeros((batch,), jnp.int32))
 
     @property
     def page_size(self) -> int:
-        return self.k_pages.shape[3]
+        return self.k_pages.shape[2]
+
+    def n_logical(self, n_layers: int) -> int:
+        return (self.k_pages.shape[1] - 1) // n_layers
 
 
 class PageAllocator:
@@ -115,8 +134,8 @@ def paged_attention_ref(q: jax.Array, k_pages: jax.Array,
                         v_pages: jax.Array, lengths: jax.Array,
                         page_indices: jax.Array, *, scale: float
                         ) -> jax.Array:
-    """jnp oracle: q [B, H, D]; pages [H, N, ps, D];
-    page_indices [B, pps]."""
+    """jnp oracle: q [B, H, D]; pages [KV, P, ps, D];
+    page_indices [B, pps] PHYSICAL page ids (already layer-offset)."""
     b = q.shape[0]
     h, n, ps, d = k_pages.shape
     if q.shape[1] != h:                      # GQA: repeat kv pages per group
@@ -142,6 +161,7 @@ def paged_attention_ref(q: jax.Array, k_pages: jax.Array,
 def paged_attention_op(q, k_pages, v_pages, lengths, page_indices, *,
                        scale: float) -> jax.Array:
     """Stock Pallas paged-attention kernel on TPU, jnp oracle elsewhere.
+    `page_indices` must be PHYSICAL page ids.
 
     The stock kernel needs head_dim aligned to 128 lanes; smaller head dims
     are zero-padded (zeros change neither scores nor outputs)."""
@@ -169,36 +189,104 @@ def paged_attention_op(q, k_pages, v_pages, lengths, page_indices, *,
                                scale=scale)
 
 
+def paged_sparse_attention(qg, codes_q, k_pages, v_pages, c_pages, lengths,
+                           phys_indices, page_indices, *, scale: float,
+                           clamp: float, sparse_coeff: int) -> jax.Array:
+    """PQ page-sparse decode attention: pages are the selection tiles.
+
+    qg [B, KV, G, D]; codes_q [B, KV, G, n_sub]; pools [KV, P, ps, ...];
+    phys_indices [B, pps] physical ids; page_indices [B, pps] logical (for
+    validity masks). Scores every cached key's PQ match count by gathering
+    only the (tiny, int) code pages, pools them per page, selects the top
+    `used/sparse_coeff + 1` pages per head, and reads K/V for those pages
+    only — the HBM read shrinks by the sparsity factor, page-aligned.
+    Returns [B, KV, G, D].
+    """
+    b, kv, g, d = qg.shape
+    _, _, ps, n_sub = c_pages.shape
+    pps = phys_indices.shape[1]
+    safe = jnp.maximum(phys_indices, 0)
+    # [KV, B, pps, ps, n_sub] -> match counts [B, KV, G, pps, ps]
+    cg = jnp.take(c_pages, safe, axis=1)
+    match = jnp.sum(
+        (cg.transpose(1, 0, 2, 3, 4)[:, :, None]
+         == codes_q[:, :, :, None, None, :]).astype(jnp.float32), axis=-1)
+    cols = jnp.arange(pps * ps)[None, :] < lengths[:, None]   # [B, pps*ps]
+    colsp = cols.reshape(b, pps, ps)
+    match = jnp.where(colsp[:, None, None], match, -1.0)
+    pscore = match.mean(-1)                                # [B, KV, G, pps]
+    page_live = (jnp.arange(pps)[None, :] * ps < lengths[:, None]) \
+        & (page_indices >= 0)                              # [B, pps]
+    pscore = jnp.where(page_live[:, None, None], pscore, -jnp.inf)
+    # force the page holding the most recent token (recency window)
+    cur = (jnp.maximum(lengths, 1) - 1) // ps              # [B]
+    pscore = jnp.where(
+        (jnp.arange(pps)[None, :] == cur[:, None])[:, None, None],
+        jnp.inf, pscore)
+    nsel = min(pps, max(1, pps // sparse_coeff) + 1)
+    pvals, pidx = jax.lax.top_k(pscore, nsel)              # [B, KV, G, nsel]
+    page_ok = pvals > -jnp.inf
+    sel_logical = jnp.maximum(pidx, 0)
+    # physical ids of the selected logical table entries
+    sel_phys = jnp.take_along_axis(
+        safe[:, None, None, :].astype(jnp.int32),
+        sel_logical, axis=-1)                              # [B, KV, G, nsel]
+    hidx = jnp.arange(kv)[:, None, None, None]
+    kg = k_pages[hidx, sel_phys.transpose(1, 0, 2, 3)]     # [KV,B,G,ns,ps,D]
+    vg = v_pages[hidx, sel_phys.transpose(1, 0, 2, 3)]
+    kg = kg.transpose(1, 0, 2, 3, 4, 5)                    # [B,KV,G,ns,ps,D]
+    vg = vg.transpose(1, 0, 2, 3, 4, 5)
+    colpos = sel_logical[..., None] * ps + jnp.arange(ps)  # [B,KV,G,ns,ps]
+    ok = (colpos < lengths[:, None, None, None, None]) & page_ok[..., None]
+    scores = jnp.einsum('bkgd,bkgspd->bkgsp', qg, kg,
+                        preferred_element_type=jnp.float32) * scale
+    scores = jnp.clip(scores, -clamp, clamp)
+    scores = jnp.where(ok, scores, NEG_INF)
+    flat = scores.reshape(b, kv, g, -1)
+    probs = jax.nn.softmax(flat, axis=-1).reshape(scores.shape)
+    probs = jnp.where(ok, probs, 0.0).astype(vg.dtype)
+    return jnp.einsum('bkgsp,bkgspd->bkgd', probs, vg)
+
+
 # ---------------------------------------------------------------------------
-# engine steps over the paged cache (dense attention path)
+# engine steps over the paged cache
 # ---------------------------------------------------------------------------
 
 def paged_prefill(iw: InferenceWeights, tokens: jax.Array,
                   cache: PagedKVCache) -> Tuple[jax.Array, PagedKVCache]:
-    """Prompt pass writing K/V into assigned pages. tokens [B, S];
-    cache.page_indices rows must already hold >= ceil(S/ps) pages."""
+    """Prompt pass writing K/V (and PQ codes) into assigned pages.
+    tokens [B, S]; cache.page_indices rows must already hold >=
+    ceil(S/ps) logical pages."""
     from spt_proto_tpu.inference.engine import KVCache, prefill
     cfg = iw.cfg
     b, s = tokens.shape
     ps = cache.page_size
+    n_log = cache.n_logical(cfg.n_layers)
     tmp = KVCache.create(cfg, b, s, dtype=cache.k_pages.dtype)
     logits, tmp = prefill(iw, tokens, tmp)
-    # scatter [L, B, H, S, D] into pages [L, H, N, ps, D]
+    # scatter [L, B, KV, S, .] into merged pools [KV, L*N+1, ps, .]
     pps_used = -(-s // ps)
     pad = pps_used * ps - s
-    kx = jnp.pad(tmp.k, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
-    vx = jnp.pad(tmp.v, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
-    l, _, h, _, d = kx.shape
-    kx = kx.reshape(l, b, h, pps_used, ps, d)
-    vx = vx.reshape(l, b, h, pps_used, ps, d)
-    pages = jnp.maximum(cache.page_indices[:, :pps_used], 0)  # [B, pps_used]
-    # scatter per (b, p): k_pages[:, :, pages[b,p]] = kx[:, b, :, p]
-    k_pages = cache.k_pages.at[:, :, pages.reshape(-1)].set(
-        kx.transpose(0, 2, 1, 3, 4, 5).reshape(l, h, b * pps_used, ps, d))
-    v_pages = cache.v_pages.at[:, :, pages.reshape(-1)].set(
-        vx.transpose(0, 2, 1, 3, 4, 5).reshape(l, h, b * pps_used, ps, d))
+    widths = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
+    l, _, h, _, d = tmp.k.shape
+
+    def to_pages(x):
+        # [L, B, KV, S(+pad), w] -> [KV, L*B*pps, ps, w]
+        w = x.shape[-1]
+        x = jnp.pad(x, widths).reshape(l, b, h, pps_used, ps, w)
+        return x.transpose(2, 0, 1, 3, 4, 5).reshape(h, -1, ps, w)
+
+    logical = jnp.maximum(cache.page_indices[:, :pps_used], 0)  # [B, pps]
+    phys = (jnp.arange(l)[:, None, None] * n_log
+            + logical[None]).reshape(-1)               # [L*B*pps]
+    k_pages = cache.k_pages.at[:, phys].set(to_pages(tmp.k))
+    v_pages = cache.v_pages.at[:, phys].set(to_pages(tmp.v))
+    c_pages = cache.c_pages
+    if cfg.attention == ATTN_SPARSE_V2:
+        c_pages = c_pages.at[:, phys].set(
+            to_pages(tmp.codes.astype(jnp.int32)))
     return logits, PagedKVCache(
-        k_pages=k_pages, v_pages=v_pages,
+        k_pages=k_pages, v_pages=v_pages, c_pages=c_pages,
         page_indices=cache.page_indices,
         length=jnp.full_like(cache.length, s))
 
@@ -206,57 +294,82 @@ def paged_prefill(iw: InferenceWeights, tokens: jax.Array,
 def paged_decode_step(iw: InferenceWeights, tokens: jax.Array,
                       cache: PagedKVCache
                       ) -> Tuple[jax.Array, PagedKVCache]:
-    """One token per slot over the paged cache (dense attention)."""
+    """One token per slot over the paged cache. Dense attention uses the
+    stock Pallas paged-attention kernel; sparse (PQ) attention selects
+    top pages by match count (pages = tiles). The pools ride the layer
+    scan as carry — each layer performs only a small column scatter, in
+    place when the cache argument is donated."""
     cfg = iw.cfg
     p = iw.params
     b = tokens.shape[0]
     ps = cache.page_size
+    n_log = cache.n_logical(cfg.n_layers)
     pos = cache.length
     h_tok = p['embedding']['embedding'][tokens][:, None]
     if cfg.arch == 'opt':
         h_tok = h_tok + p['learned_pe']['embedding'][pos + PE_OFFSET][:, None]
     x = h_tok.astype(cfg.dtype)
     scale = cfg.d_head ** -0.5
-    bidx = jnp.arange(b)
+    kv, g = cfg.kv_heads, cfg.kv_groups
+    sparse = cfg.attention == ATTN_SPARSE_V2
     pps = cache.page_indices.shape[1]
     page_of = jnp.take_along_axis(cache.page_indices,
                                   jnp.minimum(pos // ps, pps - 1)[:, None],
                                   axis=1)[:, 0]
     # slots without a page table write into the reserved sink page
-    sink = cache.k_pages.shape[2] - 1
-    write_page = jnp.where(page_of >= 0, page_of, sink)
+    sink = cache.k_pages.shape[1] - 1
     slot_in_page = pos % ps
+    hidx = jnp.arange(kv)[:, None]
 
     def layer(carry, inp):
-        x = carry
-        bp, k_pages, v_pages = inp
+        x, k_pages, v_pages, c_pages = carry
+        bp, lix = inp
         hn = _norm(cfg, bp['norm1'], x)
         q = _dense(bp['mha']['q'], hn)
         k = _dense(bp['mha']['k'], hn)
         v = _dense(bp['mha']['v'], hn)
         q = q.reshape(b, cfg.n_heads, cfg.d_head)
-        k = k.reshape(b, cfg.kv_heads, cfg.d_head)       # [B, KV, D]
-        v = v.reshape(b, cfg.kv_heads, cfg.d_head)
+        k = k.reshape(b, kv, cfg.d_head)                 # [B, KV, D]
+        v = v.reshape(b, kv, cfg.d_head)
         if cfg.arch == 'llama':
             q = _apply_rope_1(q[:, :, None, :], pos[:, None],
                               cfg.rope_base)[:, :, 0]
             k = _apply_rope_1(k[:, :, None, :], pos[:, None],
                               cfg.rope_base)[:, :, 0]
-        # write new K/V into the page slot
-        k_pages = k_pages.at[:, write_page, slot_in_page].set(
+        write_page = jnp.where(page_of >= 0, lix * n_log + page_of, sink)
+        # small in-place column scatters (pools are loop carry)
+        k_pages = k_pages.at[hidx, write_page[None, :], slot_in_page].set(
             k.transpose(1, 0, 2).astype(k_pages.dtype))
-        v_pages = v_pages.at[:, write_page, slot_in_page].set(
+        v_pages = v_pages.at[hidx, write_page[None, :], slot_in_page].set(
             v.transpose(1, 0, 2).astype(v_pages.dtype))
-        o = paged_attention_op(q, k_pages, v_pages, pos + 1,
-                               cache.page_indices, scale=scale)
+        phys_idx = jnp.where(cache.page_indices >= 0,
+                             lix * n_log + cache.page_indices, sink)
+        if sparse:
+            qg = q.reshape(b, kv, g, cfg.d_head)
+            codes_q = _encode_codes(cfg, bp['mha']['quantizer'],
+                                    q.reshape(b, kv * g, cfg.d_head))
+            codes_q = codes_q.reshape(b, kv, g, -1)
+            c_new = _encode_codes(cfg, bp['mha']['quantizer'], k)
+            c_pages = c_pages.at[
+                hidx, write_page[None, :], slot_in_page].set(
+                    c_new.transpose(1, 0, 2).astype(c_pages.dtype))
+            o = paged_sparse_attention(
+                qg, codes_q, k_pages, v_pages, c_pages, pos + 1,
+                phys_idx, cache.page_indices, scale=scale,
+                clamp=cfg.score_clamp, sparse_coeff=cfg.sparse_coeff)
+            o = o.reshape(b, cfg.n_heads, cfg.d_head)
+        else:
+            o = paged_attention_op(q, k_pages, v_pages, pos + 1,
+                                   phys_idx, scale=scale)
         o = o.reshape(b, 1, cfg.d_model)
         x = x + _dense(bp['mha']['o'], o)
         x = x + _ffn(cfg, bp['ffn'], _norm(cfg, bp['norm2'], x))
-        return x, (k_pages, v_pages)
+        return (x, k_pages, v_pages, c_pages), ()
 
-    x, (k_new, v_new) = jax.lax.scan(
-        layer, x, (p['blocks'], cache.k_pages, cache.v_pages))
-    cache = PagedKVCache(k_pages=k_new, v_pages=v_new,
+    (x, k_pages, v_pages, c_pages), _ = jax.lax.scan(
+        layer, (x, cache.k_pages, cache.v_pages, cache.c_pages),
+        (p['blocks'], jnp.arange(cfg.n_layers)))
+    cache = PagedKVCache(k_pages=k_pages, v_pages=v_pages, c_pages=c_pages,
                          page_indices=cache.page_indices,
                          length=cache.length + 1)
     x = _norm(cfg, p['final_norm'], x)

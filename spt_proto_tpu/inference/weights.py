@@ -40,11 +40,21 @@ def fold_lora_embed(p: dict) -> dict:
     return out
 
 
-def quantize_int8(w: jax.Array) -> dict:
-    """Per-output-channel (last axis) symmetric INT8 quantization."""
+def quantize_int8(w: jax.Array, pad_to: int = 256) -> dict:
+    """Per-output-channel (last axis) symmetric INT8 quantization.
+
+    The quantized tensor's N axis is zero-padded to a multiple of `pad_to`
+    HERE, at quantization time — otherwise the matmul kernel would pad
+    (i.e. copy) the whole weight on every call (the lm_head's vocab 50272
+    is not even 128-aligned). `scale` keeps the ORIGINAL width: consumers
+    recover the true N statically from scale.shape[-1] and slice."""
     scale = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
     scale = jnp.maximum(scale, 1e-8)
     q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    pad = (-q.shape[-1]) % pad_to
+    if pad:
+        widths = [(0, 0)] * (q.ndim - 1) + [(0, pad)]
+        q = jnp.pad(q, widths)
     return {'q': q, 'scale': scale.astype(jnp.float32)}
 
 

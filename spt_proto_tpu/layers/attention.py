@@ -58,6 +58,16 @@ class MultiheadAttention(nn.Module):
         cfg = self.cfg
         s = q.shape[1]
         scale = cfg.d_head ** -0.5
+        if cfg.context_parallel:
+            # inside a shard_map: q/k/v are local sequence chunks; ring
+            # attention passes K/V chunks around cfg.cp_axis with online
+            # softmax (ops/ring_attention.py)
+            from spt_proto_tpu.ops.ring_attention import ring_attention_local
+            o = ring_attention_local(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), axis_name=cfg.cp_axis,
+                scale=scale, causal=True)
+            return o.transpose(0, 2, 1, 3)
         use_flash = (cfg.attn_impl == 'pallas' and s % 128 == 0
                      and (cfg.p_dropout == 0.0 or self.deterministic))
         if use_flash:
@@ -154,7 +164,11 @@ class MultiheadAttention(nn.Module):
         k = kv(self.linear_k(x))
         v = kv(self.linear_v(x))
         if cfg.arch == 'llama':
-            cos, sin = rope_cos_sin(jnp.arange(s), cfg.d_head,
+            pos = jnp.arange(s)
+            if cfg.context_parallel:
+                # local chunk: global position = shard_index * chunk + i
+                pos = pos + jax.lax.axis_index(cfg.cp_axis) * s
+            cos, sin = rope_cos_sin(pos, cfg.d_head,
                                     base=cfg.rope_base, dtype=jnp.float32)
             q = apply_rope(q.astype(jnp.float32), cos, sin).astype(cfg.dtype)
             k = apply_rope(k.astype(jnp.float32), cos, sin).astype(cfg.dtype)

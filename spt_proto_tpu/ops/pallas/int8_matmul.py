@@ -60,7 +60,19 @@ def int8_matmul(x: jax.Array, w_q: jax.Array, scale: jax.Array, *,
     n_dim = w_q.shape[-1]
     xf = x.reshape(-1, k_dim)
     m = xf.shape[0]
-    scale = scale.reshape(1, n_dim).astype(jnp.float32)
+    # scale may be narrower than w_q (N was padded at quantization time);
+    # zero-pad it here — a [1, N] pad is trivially cheap, unlike a W pad
+    n_scale = scale.reshape(1, -1).shape[-1]
+    scale = jnp.pad(scale.reshape(1, n_scale).astype(jnp.float32),
+                    ((0, 0), (0, n_dim - n_scale)))
+    # skinny-m decode: a 128-row block would waste 16x MXU work at m=8;
+    # pick blocks that fit m and amortize grid overhead on N/K instead
+    if m < 64:
+        block_m = max(32, -(-m // 8) * 8)
+        if n_dim % 256 == 0:
+            block_n = 256
+        if k_dim % 256 == 0:
+            block_k = 256
 
     xp = _pad_to(_pad_to(xf, block_m, 0), block_k, 1)
     wp = _pad_to(_pad_to(w_q, block_k, 0), block_n, 1)

@@ -163,6 +163,77 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
     return train_step
 
 
+def make_cp_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
+                       mesh, *, train_quantizer: bool = True,
+                       aux_coeff: float = AUX_LOSS_COEFF):
+    """Context-parallel training step (long sequences sharded over
+    cfg.cp_axis; ring attention inside the layers).
+
+    The model body runs INSIDE shard_map: every device holds the full
+    (replicated) params and a [B_local, S/n_sp] sequence chunk; dense
+    attention is ring attention (K/V chunks ppermute around the ring with
+    online-softmax merging), positions/RoPE are offset per shard. Gradients
+    are psum'd over ('data', cp_axis) so the update equals the unsharded
+    step. Capability addition — the reference caps sequences at 2048 with
+    no sequence parallelism at all (SURVEY §2.8/§5).
+
+    Requires cfg.context_parallel=True; batch arrays must be sharded
+    P('data', cp_axis). Base-weight freezing comes from the (masked) `tx`.
+    NOTE: initialize params with the non-CP twin config
+    (cfg.replace(context_parallel=False)) — model.init runs outside
+    shard_map where cp_axis is unbound; param shapes are identical.
+    """
+    assert cfg.context_parallel, 'set cfg.context_parallel=True'
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+    model = DecoderLM(cfg=cfg, deterministic=True,
+                      train_quantizer=train_quantizer)
+    axes = ('data', cfg.cp_axis)
+    n_shards = mesh.shape['data'] * mesh.shape[cfg.cp_axis]
+
+    def local_objective(params, inputs, targets):
+        b, s_loc = inputs.shape
+        pos = jnp.arange(s_loc) + jax.lax.axis_index(cfg.cp_axis) * s_loc
+        pos = jnp.broadcast_to(pos[None], (b, s_loc))
+        out = model.apply({'params': params}, inputs, positions=pos)
+        ce_sum = jnp.sum(optax.softmax_cross_entropy_with_integer_labels(
+            out['logits'].astype(jnp.float32), targets))
+        total = jax.lax.psum(jnp.float32(targets.size), axes)
+        # each term's psum-total equals the unsharded global mean
+        return ce_sum / total + aux_coeff * out['pq_loss'] / n_shards, \
+            (ce_sum / total, out['pq_loss'] / n_shards)
+
+    def sharded_grads(params, inputs, targets):
+        (_, (ce, pq)), grads = jax.value_and_grad(
+            local_objective, has_aux=True)(params, inputs, targets)
+        grads = jax.lax.psum(grads, axes)
+        ce = jax.lax.psum(ce, axes)
+        pq = jax.lax.psum(pq, axes)
+        return grads, ce, pq
+
+    batch_spec = P('data', cfg.cp_axis)
+    mapped = jax.shard_map(
+        sharded_grads, mesh=mesh,
+        in_specs=(P(), batch_spec, batch_spec),
+        out_specs=(P(), P(), P()))
+
+    def train_step(state: TrainState, batch):
+        grads, ce, pq = mapped(state.params, batch['inputs'],
+                               batch['targets'])
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {'ce': ce, 'pq_loss': pq, 'loss': ce + aux_coeff * pq,
+                   'grad_norm': optax.global_norm(grads)}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    def batch_shardings():
+        return {'inputs': NamedSharding(mesh, batch_spec),
+                'targets': NamedSharding(mesh, batch_spec)}
+
+    train_step.batch_shardings = batch_shardings
+    return train_step
+
+
 def make_eval_step(cfg: ModelConfig):
     model = DecoderLM(cfg=cfg, deterministic=True, train_quantizer=False)
 

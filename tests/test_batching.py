@@ -148,3 +148,28 @@ def test_paged_continuous_batching_matches_generate(small_model):
         assert completions[rid] == ref_new, (completions[rid], ref_new)
     # all pages released after completion
     assert eng.alloc.free_count == free0
+
+
+def test_paged_sparse_continuous_batching():
+    """Flagship composition: PQ-sparse model served paged with continuous
+    batching. At sparse_coeff=1 every page is selected, so completions
+    must match unpaged single-request generate() exactly."""
+    cfg = tiny_config('opt').replace(
+        dtype=jnp.float32, attention='sparse_v2', d_codeword=4,
+        n_codewords=8, sparse_coeff=1)
+    cfg.validate()
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    rng = np.random.RandomState(5)
+    prompts = [list(rng.randint(1, cfg.vocab_size, size=n))
+               for n in (9, 6, 4)]
+    eng = ContinuousBatchingEngine(iw, n_slots=2, max_len=32,
+                                   prefill_bucket=8, paged=True,
+                                   page_size=8, n_pages=8)
+    rids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+    completions = {c.request_id: c.tokens for c in eng.run_until_done()}
+    assert set(completions) == set(rids)
+    for p, rid in zip(prompts, rids):
+        ref = generate(iw, jnp.asarray([p], jnp.int32), 5, max_len=32)
+        ref_new = list(np.asarray(ref)[0, len(p):])
+        assert completions[rid] == ref_new, (completions[rid], ref_new)

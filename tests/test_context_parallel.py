@@ -1,0 +1,79 @@
+"""Context parallelism: the model trained with the sequence sharded over
+the 'sp' axis (ring attention inside the layers) must match unsharded
+training numerically. VERDICT r1 #5: ring attention is now reachable from
+config (cfg.context_parallel) through a real train step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spt_proto_tpu.config import tiny_config
+from spt_proto_tpu.parallel.mesh import make_mesh
+from spt_proto_tpu.tuning import surgery
+from spt_proto_tpu.tuning.trainer import (TrainState, make_cp_train_step,
+                                          make_optimizer, make_train_step)
+from spt_proto_tpu.utils.tree import flatten
+
+
+def _batch(cfg, b, s, seed=0):
+    r = np.random.RandomState(seed)
+    x = r.randint(0, cfg.vocab_size, size=(b, s + 1)).astype(np.int32)
+    return {'inputs': x[:, :-1], 'targets': x[:, 1:]}
+
+
+@pytest.mark.parametrize('arch', ['opt', 'llama'])
+def test_cp_step_matches_single_device(arch):
+    cfg = tiny_config(arch, vocab_size=64, max_length=256)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(params, freeze_base=False)
+    batch = _batch(cfg, b=4, s=64)
+
+    state1 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step1 = jax.jit(make_train_step(cfg, tx, train_quantizer=False))
+    state1, m1 = step1(state1, batch)
+
+    cfg_cp = cfg.replace(context_parallel=True)
+    cfg_cp.validate()
+    mesh = make_mesh(2, 1, n_sp=4)
+    with mesh:
+        step2 = make_cp_train_step(cfg_cp, tx, mesh,
+                                   train_quantizer=False)
+        sb = jax.device_put(batch, step2.batch_shardings())
+        state2 = TrainState(params, tx.init(params),
+                            jnp.zeros((), jnp.int32))
+        state2, m2 = jax.jit(step2)(state2, sb)
+    np.testing.assert_allclose(float(m1['ce']), float(m2['ce']), rtol=2e-5)
+    a = flatten(jax.device_get(state1.params))
+    b_ = flatten(jax.device_get(state2.params))
+    for k in a:
+        np.testing.assert_allclose(a[k], b_[k], atol=3e-5, err_msg=k)
+
+
+def test_cp_long_sequence_trains():
+    """A sequence 4x the per-device chunk runs end-to-end and the loss is
+    finite; exercises ring attention + RoPE offsets at S=512 over 8 shards
+    (the virtual-mesh stand-in for S-larger-than-one-chip's-memory)."""
+    base = tiny_config('llama', vocab_size=64, max_length=1024)
+    cfg = base.replace(context_parallel=True)
+    cfg.validate()
+    # init outside shard_map with the non-CP twin (identical param shapes)
+    params = surgery.init_params(base, jax.random.PRNGKey(0))
+    tx = make_optimizer(params, freeze_base=False)
+    mesh = make_mesh(1, 1, n_sp=8)
+    with mesh:
+        step = make_cp_train_step(cfg, tx, mesh, train_quantizer=False)
+        batch = jax.device_put(_batch(cfg, b=2, s=512),
+                               step.batch_shardings())
+        state = TrainState(params, tx.init(params),
+                           jnp.zeros((), jnp.int32))
+        state, m = jax.jit(step)(state, batch)
+        state, m2 = jax.jit(step)(state, batch)
+    assert np.isfinite(float(m['loss']))
+    assert float(m2['ce']) < float(m['ce'])   # it actually learns
+
+
+def test_cp_rejects_sparse_v2():
+    cfg = tiny_config('opt').replace(context_parallel=True,
+                                     attention='sparse_v2')
+    with pytest.raises(AssertionError):
+        cfg.validate()

@@ -170,7 +170,8 @@ def test_int8_quantization_error_small():
     w = jax.random.normal(jax.random.PRNGKey(7), (64, 32))
     qd = quantize_int8(w)
     assert qd['q'].dtype == jnp.int8
-    deq = qd['q'].astype(jnp.float32) * qd['scale']
+    assert qd['q'].shape[-1] % 256 == 0   # N padded at quantization time
+    deq = qd['q'][..., :w.shape[-1]].astype(jnp.float32) * qd['scale']
     rel = float(jnp.max(jnp.abs(deq - w)) / jnp.max(jnp.abs(w)))
     assert rel < 0.01
 
@@ -181,8 +182,8 @@ def test_int8_matmul_kernel_matches_ref():
     x = jax.random.normal(jax.random.PRNGKey(8), (48, 96))
     w = jax.random.normal(jax.random.PRNGKey(9), (96, 160))
     qd = quantize_int8(w)
-    got = int8_matmul(x, qd['q'], qd['scale'])
-    ref = int8_matmul_ref(x, qd['q'], qd['scale'])
+    got = int8_matmul(x, qd['q'], qd['scale'])[..., :w.shape[-1]]
+    ref = int8_matmul_ref(x, qd['q'][..., :w.shape[-1]], qd['scale'])
     # kernel computes in bf16 on the MXU; oracle is f32
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2,
                                atol=1e-1)

@@ -62,6 +62,7 @@ def test_paged_matches_contiguous_engine():
         alloc.ensure(slot, tokens=s + 4, page_size=ps)
         pi.append(alloc.table(slot, cache_p.page_indices.shape[1]))
     cache_p = PagedKVCache(cache_p.k_pages, cache_p.v_pages,
+                           cache_p.c_pages,
                            jnp.asarray(np.stack(pi)), cache_p.length)
     lg_p, cache_p = jax.jit(paged_prefill)(iw, tokens, cache_p)
     np.testing.assert_allclose(np.asarray(lg_p), np.asarray(lg_c),
@@ -91,13 +92,14 @@ def test_paged_gqa_matches_contiguous():
     alloc = PageAllocator(n_pages=16, n_slots=b)
     cache_p = PagedKVCache.create(cfg, b, n_pages=16, page_size=ps,
                                   max_len=16, dtype=jnp.float32)
-    assert cache_p.k_pages.shape[1] == 2   # kv heads
+    assert cache_p.k_pages.shape[0] == 2   # kv heads
     import numpy as _np
     pi = []
     for slot in range(b):
         alloc.ensure(slot, tokens=s + 4, page_size=ps)
         pi.append(alloc.table(slot, cache_p.page_indices.shape[1]))
     cache_p = PagedKVCache(cache_p.k_pages, cache_p.v_pages,
+                           cache_p.c_pages,
                            jnp.asarray(_np.stack(pi)), cache_p.length)
     lg_p, cache_p = jax.jit(paged_prefill)(iw, tokens, cache_p)
     np.testing.assert_allclose(np.asarray(lg_p), np.asarray(lg_c),
@@ -106,3 +108,70 @@ def test_paged_gqa_matches_contiguous():
         iw, jnp.argmax(lg_p[:, -1], -1).astype(jnp.int32), cache_p)
     np.testing.assert_allclose(np.asarray(lg2_p), np.asarray(lg2_c),
                                atol=1e-4)
+
+
+def _paged_setup(cfg, b, s, ps, n_pages=16, max_len=16):
+    alloc = PageAllocator(n_pages=n_pages, n_slots=b)
+    cache_p = PagedKVCache.create(cfg, b, n_pages=n_pages, page_size=ps,
+                                  max_len=max_len, dtype=jnp.float32)
+    pi = []
+    for slot in range(b):
+        alloc.ensure(slot, tokens=max_len, page_size=ps)
+        pi.append(alloc.table(slot, cache_p.page_indices.shape[1]))
+    return PagedKVCache(cache_p.k_pages, cache_p.v_pages, cache_p.c_pages,
+                        jnp.asarray(np.stack(pi)), cache_p.length)
+
+
+def test_paged_sparse_decode_matches_contiguous():
+    """VERDICT r1 #3: the flagship PQ-sparse model must serve from the
+    paged cache. With sparse_coeff=1 both the contiguous rows-mode and the
+    page-granular selection keep every key, so paged-sparse decode must
+    reproduce contiguous-sparse decode exactly (same clamped softmax)."""
+    cfg = tiny_config('opt').replace(
+        dtype=jnp.float32, attention='sparse_v2', d_codeword=4,
+        n_codewords=8, sparse_coeff=1)
+    cfg.validate()
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    b, s, ps = 2, 8, 4
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (b, s), 0,
+                                cfg.vocab_size)
+    cache_c = KVCache.create(cfg, b, 16, dtype=jnp.float32)
+    lg_c, cache_c = jax.jit(prefill)(iw, tokens, cache_c)
+    cache_p = _paged_setup(cfg, b, s, ps)
+    lg_p, cache_p = jax.jit(paged_prefill)(iw, tokens, cache_p)
+    np.testing.assert_allclose(np.asarray(lg_p), np.asarray(lg_c),
+                               atol=1e-4)
+    step_c, step_p = jax.jit(decode_step), jax.jit(paged_decode_step)
+    tok = jnp.argmax(lg_c[:, -1], -1).astype(jnp.int32)
+    for i in range(4):
+        lg1, cache_c = step_c(iw, tok, cache_c)
+        lg2, cache_p = step_p(iw, tok, cache_p)
+        np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg1),
+                                   atol=1e-4, err_msg=f'step {i}')
+        tok = jnp.argmax(lg1, -1).astype(jnp.int32)
+    # code pages were actually written during prefill + decode
+    assert np.asarray(cache_p.c_pages).any()
+
+
+def test_paged_sparse_decode_selects_subset():
+    """At a real sparsity (coeff 4, many pages) the paged-sparse step runs,
+    produces finite logits, and its page-selection path is exercised (the
+    kernel reads fewer pages than exist)."""
+    cfg = tiny_config('opt', max_length=256).replace(
+        dtype=jnp.float32, attention='sparse_v2', d_codeword=4,
+        n_codewords=8, sparse_coeff=4)
+    cfg.validate()
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    b, s, ps = 1, 32, 4
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (b, s), 0,
+                                cfg.vocab_size)
+    cache_p = _paged_setup(cfg, b, s, ps, n_pages=16, max_len=48)
+    lg, cache_p = jax.jit(paged_prefill)(iw, tokens, cache_p)
+    tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+    for _ in range(3):
+        lg, cache_p = jax.jit(paged_decode_step)(iw, tok, cache_p)
+        assert np.isfinite(np.asarray(lg)).all()
+        tok = jnp.argmax(lg, -1).astype(jnp.int32)
+    assert int(cache_p.length[0]) == s + 3
