@@ -1,0 +1,551 @@
+"""Fused decode-attention Pallas kernel over a tiled K/V pool.
+
+THE decode hot path (north-star metric: output tokens/s/chip). One kernel
+serves all four serving modes — contiguous/paged x dense/PQ-sparse — by
+abstracting the cache as a flat pool of TOKEN-MINOR [D, page_size] tiles
+(sequence on the 128-lane axis — Mosaic requires 128-aligned minor dims
+for HBM tile DMAs, and D is often 64; this orientation also makes the
+score matmul the natural [G, D] x [D, ps] MXU shape) plus a
+per-(slot, kv-head) table of tile ids:
+
+  * contiguous dense  : table = every tile of the slot's row, in order
+  * contiguous sparse : table = top tiles by PQ match count, current last
+  * paged dense/sparse: table = the slot's (selected) physical pages
+
+Why a kernel (measured on v5e, B=8 S=2304 opt-125m shapes, see
+docs/PERF.md): XLA's scan-sliced decode attention costs 4.2 ms/12 layers
+because the per-layer cache slice is materialized before use, and any
+jnp gather of selected tiles reads (or copies) the whole cache anyway —
+sparsity cannot win inside XLA. Here the pools stay in HBM
+(memory_space ANY), each grid program DMAs ONLY the tiles its table
+names, and per-slot lengths bound the loop — cost tracks the actual
+context and the actual sparsity.
+
+The kernel also APPENDS the new token's K/V (and PQ codes) into the pool
+before attending (input_output_aliases => in place): the column write that
+cost ~1 ms/step as an XLA scatter becomes a [1, D] DMA.
+
+Reference analog: extension/lookup.cu + sddmm/softmax/spmm pipeline
+(SURVEY §2.1) — fused here into one pass, as legacy/sparse_mha.cu
+attempted; the fixed-tiles-per-row contract replaces CSR.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+NBUF = 2      # tile-copy pipeline depth (outstanding DMAs per operand)
+
+
+def _kernel(tables, n_tiles, last_count, write_tile, write_slot,   # SMEM
+            q_ref, k_pool, v_pool, c_pool, k_new, v_new, c_new,    # in
+            o_ref, k_out, v_out, c_out,                            # out
+            k_scr, v_scr, c_scr, sem_k, sem_v, sem_w,              # scratch
+            *, ps: int, scale: float, clamp: float, max_t: int,
+            write_codes: bool):
+    i = pl.program_id(0)
+    g = q_ref.shape[1]
+    d = q_ref.shape[2]
+    nt = n_tiles[i]
+    wt = write_tile[i]                # ALWAYS == tables[i, nt-1]
+    ws = write_slot[i]
+
+    # ---- append the new token's PQ codes: read-merge-write the code tile
+    # (codes are not needed for the attention math itself)
+    if write_codes:
+        rc = pltpu.make_async_copy(c_pool.at[wt], c_scr, sem_w.at[0])
+        rc.start()
+
+    def tile_copy(t, slot):
+        tid = tables[i, t]
+        return (pltpu.make_async_copy(k_pool.at[tid], k_scr.at[slot],
+                                      sem_k.at[slot]),
+                pltpu.make_async_copy(v_pool.at[tid], v_scr.at[slot],
+                                      sem_v.at[slot]))
+
+    # deep pipelining: keep NBUF-1 tile copies in flight (the per-program
+    # compute is tiny, so throughput is bounded by outstanding DMAs)
+    for t0 in range(NBUF - 1):
+        @pl.when(t0 < nt)
+        def _prefetch(t0=t0):
+            ck, cv = tile_copy(t0, t0 % NBUF)
+            ck.start()
+            cv.start()
+
+    if write_codes:
+        rc.wait()
+        c_cols = jax.lax.broadcasted_iota(jnp.int32, c_scr.shape, 1)
+        c_scr[...] = jnp.where(c_cols == ws, c_new[0], c_scr[...])
+        wc = pltpu.make_async_copy(c_scr, c_out.at[wt], sem_w.at[1])
+        wc.start()
+
+    q = q_ref[0].astype(jnp.float32)                     # [G, D]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (d, ps), 1)
+
+    def body(t, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(t, NBUF)
+        ck, cv = tile_copy(t, slot)
+        ck.wait()
+        cv.wait()
+
+        @pl.when(t + NBUF - 1 < nt)
+        def _next():
+            nxt = t + NBUF - 1
+            nk, nv = tile_copy(nxt, jax.lax.rem(nxt, NBUF))
+            nk.start()
+            nv.start()
+
+        is_last = t == nt - 1
+        # merge the new token's K/V column into the (last) tile in VMEM:
+        # the single-column HBM write Mosaic cannot express becomes a
+        # masked lane select + full-tile write-back
+        @pl.when(is_last)
+        def _merge():
+            sel = cols == ws
+            k_scr[slot] = jnp.where(sel, k_new[0], k_scr[slot])
+            v_scr[slot] = jnp.where(sel, v_new[0], v_scr[slot])
+            wk = pltpu.make_async_copy(k_scr.at[slot], k_out.at[wt],
+                                       sem_w.at[2])
+            wv = pltpu.make_async_copy(v_scr.at[slot], v_out.at[wt],
+                                       sem_w.at[0])
+            wk.start()
+            wv.start()
+
+        k_t = k_scr[slot].astype(jnp.float32)            # [D, ps]
+        v_t = v_scr[slot]                                 # [D, ps]
+        s = jax.lax.dot_general(q, k_t, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale                                     # [G, ps]
+        if clamp > 0.0:
+            s = jnp.clip(s, -clamp, clamp)
+        n_valid = jnp.where(is_last, last_count[i], ps)
+        col_ok = jax.lax.broadcasted_iota(jnp.int32, (g, ps), 1) < n_valid
+        s = jnp.where(col_ok, s, NEG_INF)
+        m_c = jnp.max(s, axis=-1, keepdims=True)          # [G, 1]
+        m_n = jnp.maximum(m, m_c)
+        p = jnp.where(col_ok, jnp.exp(s - m_n), 0.0)
+        alpha = jnp.exp(m - m_n)
+        l_n = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(p.astype(v_t.dtype), v_t,
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return m_n, l_n, alpha * acc + pv
+
+    m0 = jnp.full((g, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((g, 1), jnp.float32)
+    a0 = jnp.zeros((g, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nt, body, (m0, l0, a0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    # drain the write-back DMAs before the program ends
+    if write_codes:
+        pltpu.make_async_copy(c_scr, c_out.at[wt], sem_w.at[1]).wait()
+    pltpu.make_async_copy(k_scr.at[0], k_out.at[wt], sem_w.at[2]).wait()
+    pltpu.make_async_copy(v_scr.at[0], v_out.at[wt], sem_w.at[0]).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('ps', 'scale', 'clamp', 'interpret'))
+def decode_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
+                     c_pool: jax.Array, tables: jax.Array,
+                     n_tiles: jax.Array, last_count: jax.Array,
+                     k_new: jax.Array, v_new: jax.Array, c_new: jax.Array,
+                     write_tile: jax.Array, write_slot: jax.Array, *,
+                     ps: int, scale: float, clamp: float = 0.0,
+                     interpret: Optional[bool] = None
+                     ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One decode step of attention for BK = B * kv_heads programs.
+
+    q [BK, G, D]; pools [P, D|n_sub, ps] (flat TOKEN-MINOR tile pools —
+    tokens on the lane axis; any layout upstream);
+    tables [BK, T] int32 tile ids — entries 0..n_tiles-2 are FULLY valid
+    tiles, entry n_tiles-1 has `last_count` valid rows (the caller writes
+    the new token into (write_tile, write_slot) and counts it there);
+    k_new/v_new [BK, D]; c_new [BK, n_sub] (codes; width-1 dummy when
+    dense). Returns (o [BK, G, D], k_pool', v_pool', c_pool') with the
+    pools updated in place (aliased).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    bk, g, d = q.shape
+    max_t = tables.shape[1]
+    n_sub = c_pool.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(bk,),
+        in_specs=[
+            pl.BlockSpec((1, g, d), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, d, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, d, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, n_sub, 1), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, g, d), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, d, ps), k_pool.dtype),
+            pltpu.VMEM((NBUF, d, ps), v_pool.dtype),
+            pltpu.VMEM((n_sub, ps), c_pool.dtype),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    kernel = functools.partial(_kernel, ps=ps, scale=scale, clamp=clamp,
+                               max_t=max_t, write_codes=n_sub > 1)
+    k_new3 = k_new[:, :, None]   # [BK, D, 1] — the new token as a column
+    v_new3 = v_new[:, :, None]
+    c_new3 = c_new[:, :, None]
+    o, k2, v2, c2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bk, g, d), q.dtype),
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+            jax.ShapeDtypeStruct(c_pool.shape, c_pool.dtype),
+        ],
+        # inputs count scalar-prefetch args first: 5 scalars, then q(5),
+        # k_pool(6), v_pool(7), c_pool(8), k_new(9), v_new(10), c_new(11)
+        input_output_aliases={6: 1, 7: 2, 8: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=interpret,
+    )(tables, n_tiles, last_count, write_tile, write_slot,
+      q, k_pool, v_pool, c_pool, k_new3, v_new3, c_new3)
+    return o, k2, v2, c2
+
+
+def decode_attention_ref(q, k_pool, v_pool, c_pool, tables, n_tiles,
+                         last_count, k_new, v_new, c_new, write_tile,
+                         write_slot, *, ps: int, scale: float,
+                         clamp: float = 0.0):
+    """jnp oracle with identical semantics (pool update + masked flash).
+    Pools are token-minor: [P, D, ps] / [P, n_sub, ps]."""
+    bk, g, d = q.shape
+    upd = lambda pool, new: pool.at[write_tile, :, write_slot].set(
+        new.astype(pool.dtype))
+    k_pool = upd(k_pool, k_new)
+    v_pool = upd(v_pool, v_new)
+    c_pool = upd(c_pool, c_new)
+    t_max = tables.shape[1]
+    kg = k_pool[tables]                        # [BK, T, D, ps]
+    vg = v_pool[tables]
+    s = jnp.einsum('bgd,btdp->bgtp', q.astype(jnp.float32),
+                   kg.astype(jnp.float32)) * scale
+    if clamp > 0.0:
+        s = jnp.clip(s, -clamp, clamp)
+    t_idx = jnp.arange(t_max)[None, :, None]
+    p_idx = jnp.arange(ps)[None, None, :]
+    n_valid = jnp.where(t_idx == (n_tiles - 1)[:, None, None],
+                        last_count[:, None, None], ps)
+    ok = (t_idx < n_tiles[:, None, None]) & (p_idx < n_valid)
+    s = jnp.where(ok[:, None], s, NEG_INF)
+    flat = s.reshape(bk, g, -1)
+    p = jax.nn.softmax(flat, axis=-1).reshape(s.shape)
+    p = jnp.where(ok[:, None], p, 0.0)
+    o = jnp.einsum('bgtp,btdp->bgd', p.astype(vg.dtype), vg)
+    return o.astype(q.dtype), k_pool, v_pool, c_pool
+
+
+# ---------------------------------------------------------------------------
+# v2: tile-major kernel for the CONTIGUOUS cache (the serving hot path)
+# ---------------------------------------------------------------------------
+#
+# Grid is (B,): one program per batch slot, looping a flattened
+# (kv_head, table-entry) sequence — measured ~5 us fixed cost per grid
+# program and ~2 us per strided-DMA iteration on v5e, so the cache is
+# TILE-MAJOR: [B, KV, NT, D, ps] with ps=128 tokens per tile; a tile is a
+# single contiguous 16 KB burst, and dense mode fetches `tps` consecutive
+# tiles per DMA (64 KB supertiles). Table entries are 128-tile ids;
+# iteration j covers tiles [tid, tid+tps). Per head the LAST entry's range
+# must contain the write tile pos//ps; entries with id -1 are padding
+# (fully masked). All heads of a slot share the write column pos[b], so
+# the K/V/code column merges ride the write-tile visit in VMEM.
+
+def _rows_kernel(tables, n_tiles, pos,                              # SMEM
+                 q_ref, k_ref, v_ref, c_ref, kn_ref, vn_ref, cn_ref,
+                 tabv_ref,
+                 o_ref, k_out, v_out, c_out,
+                 ks_all, vs_all, c_scr, sem_l, sem_wk, sem_wv, sem_c,
+                 *, ps: int, tps: int, t_max: int, scale: float,
+                 clamp: float, write_codes: bool, kv: int):
+    """Single-pass whole-slot decode attention.
+
+    All heads' (selected) tiles are DMA'd into ONE wide VMEM buffer
+    [D, KV * t_max * tps * ps] (head h owns a contiguous lane span), the
+    new token's columns are merged in VMEM and written back per head, and
+    the whole slot's attention is then THREE fat ops: one [KV*G, D] x
+    [D, L] score matmul, one masked row softmax, one [KV*G, L] x [L, D]^T
+    PV matmul. No per-tile online-softmax chains — at decode the VPU
+    dependency chain, not bandwidth, is the floor (~2 us per tile visit
+    measured on v5e; see docs/PERF.md)."""
+    b = pl.program_id(0)
+    g = q_ref.shape[2]
+    d = q_ref.shape[3]
+    n_t = n_tiles[b]                    # table entries per head (uniform)
+    p_b = pos[b]
+    w_tile = p_b // ps
+    w_col = jax.lax.rem(p_b, ps)
+    hspan = t_max * ps                  # lanes per head (per sub-tile u)
+    ltot = kv * hspan
+
+    # ---- stream every (head, entry) tile range into the packed buffers:
+    # entry (h, t) owns lane slice [(h*t_max + t)*ps, ...+ps) with its tps
+    # consecutive tiles stacked on axis 2
+    copies = []
+    for h in range(kv):
+        for t in range(t_max):
+            tid = jnp.maximum(tables[b, h, t], 0)
+            lane0 = (h * t_max + t) * ps
+            ck = pltpu.make_async_copy(
+                k_ref.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, tps)],
+                ks_all.at[:, :, :, :, pl.ds(lane0, ps)], sem_l)
+            cv = pltpu.make_async_copy(
+                v_ref.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, tps)],
+                vs_all.at[:, :, :, :, pl.ds(lane0, ps)], sem_l)
+            ck.start()
+            cv.start()
+            copies.append((ck, cv))
+
+    # ---- codes slab: read-merge-write [KV, 1, n_sub, ps] at the write
+    # tile (codes are not read by the attention math)
+    if write_codes:
+        rc = pltpu.make_async_copy(
+            c_ref.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], c_scr, sem_c)
+        rc.start()
+        rc.wait()
+        ccols = jax.lax.broadcasted_iota(jnp.int32, c_scr.shape, 4)
+        cn = cn_ref[...][:, :, None]        # (1, kv, 1, n_sub, 1)
+        c_scr[...] = jnp.where(ccols == w_col, cn, c_scr[...])
+        wc = pltpu.make_async_copy(
+            c_scr, c_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_c)
+        wc.start()
+
+    for ck, cv in copies:
+        ck.wait()
+        cv.wait()
+
+    # ---- merge the new token's K/V columns (per head, in VMEM), then
+    # write the merged write-tile back to HBM
+    u_w = jax.lax.rem(w_tile, tps)      # sub-tile inside the last entry
+    sub_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tps, d, ps), 2)
+    lane_i5 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tps, d, ps), 4)
+    for h in range(kv):
+        off = (h * t_max + n_t - 1) * ps
+        kn = kn_ref[0, pl.ds(h, 1)][0]          # [D, 1]
+        vn = vn_ref[0, pl.ds(h, 1)][0]
+        sel = (sub_i == u_w) & (lane_i5 == w_col)
+        ks_all[:, :, :, :, pl.ds(off, ps)] = jnp.where(
+            sel, kn, ks_all[:, :, :, :, pl.ds(off, ps)])
+        vs_all[:, :, :, :, pl.ds(off, ps)] = jnp.where(
+            sel, vn, vs_all[:, :, :, :, pl.ds(off, ps)])
+        wk = pltpu.make_async_copy(
+            ks_all.at[:, :, pl.ds(u_w, 1), :, pl.ds(off, ps)],
+            k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+            sem_wk.at[h])
+        wv = pltpu.make_async_copy(
+            vs_all.at[:, :, pl.ds(u_w, 1), :, pl.ds(off, ps)],
+            v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+            sem_wv.at[h])
+        wk.start()
+        wv.start()
+
+    # ---- attention: per sub-tile u one fat [KV*G, D] x [D, L] matmul;
+    # softmax statistics shared across the tps sub-score blocks
+    q_all = q_ref[0].reshape(kv * g, d).astype(jnp.float32)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (kv * g, ltot), 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (kv * g, ltot), 0)
+    own = (lane_i // hspan) == (row_i // g)
+    col_in_tile = jax.lax.rem(lane_i, ps)
+    # vectorized per-lane table metadata (tables also arrive as a VMEM
+    # tensor so the validity mask is pure vector math, not an unrolled
+    # scalar loop — compile time and scalar-core work both collapse)
+    tv = tabv_ref[0]                                      # [KV, t_max]
+    tid_lane = jnp.broadcast_to(tv[:, :, None],
+                                (kv, t_max, ps)).reshape(1, ltot)
+    e_lane = lane_i[:1] // ps
+    t_lane = jax.lax.rem(e_lane, t_max)
+    scs, oks = [], []
+    for u in range(tps):
+        sc = jax.lax.dot_general(
+            q_all, ks_all[0, 0, u].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if clamp > 0.0:
+            sc = jnp.clip(sc, -clamp, clamp)
+        gt = tid_lane + u
+        nv = jnp.where(
+            (tid_lane < 0) | (t_lane >= n_t), 0,
+            jnp.where(gt == w_tile, w_col + 1,
+                      jnp.where(gt < w_tile, ps, 0)))
+        ok = own & (col_in_tile < nv)
+        scs.append(jnp.where(ok, sc, NEG_INF))
+        oks.append(ok)
+    m = scs[0].max(axis=-1, keepdims=True)
+    for u in range(1, tps):
+        m = jnp.maximum(m, scs[u].max(axis=-1, keepdims=True))
+    l = jnp.zeros_like(m)
+    pv = jnp.zeros((kv * g, d), jnp.float32)
+    for u in range(tps):
+        e = jnp.where(oks[u], jnp.exp(scs[u] - m), 0.0)
+        l = l + jnp.sum(e, axis=-1, keepdims=True)
+        v_all = vs_all[0, 0, u]
+        pv = pv + jax.lax.dot_general(e.astype(v_all.dtype), v_all,
+                                      (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    out = pv / jnp.maximum(l, 1e-30)
+    o_ref[0] = out.reshape(kv, g, d).astype(o_ref.dtype)
+
+    # ---- drain write-backs
+    if write_codes:
+        pltpu.make_async_copy(
+            c_scr, c_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)],
+            sem_c).wait()
+    for h in range(kv):
+        pltpu.make_async_copy(
+            ks_all.at[:, :, pl.ds(0, 1), :, pl.ds(0, ps)],
+            k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+            sem_wk.at[h]).wait()
+        pltpu.make_async_copy(
+            vs_all.at[:, :, pl.ds(0, 1), :, pl.ds(0, ps)],
+            v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+            sem_wv.at[h]).wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=('ps', 'tps', 'scale', 'clamp', 'interpret'))
+def decode_attention_rows(q, k_cache, v_cache, c_cache, tables, n_tiles,
+                          pos, k_new, v_new, c_new, *, ps: int = 128,
+                          tps: int = 1, scale: float = 1.0,
+                          clamp: float = 0.0,
+                          interpret: Optional[bool] = None):
+    """Contiguous tile-major cache decode attention + in-place append.
+
+    q [B, KV, G, D]; caches tile-major [B, KV, NT, D, ps] (ps tokens per
+    tile) / codes [B, KV, NT, n_sub, ps]; tables [B, KV, T] int32 tile
+    ids — iteration j covers tiles [tid, tid+tps) (use tps>1 with stride-
+    tps dense tables for fat DMAs); -1 entries are padding (fully masked).
+    Per head, the LAST entry's range must contain pos//ps (the write
+    tile). n_tiles [B] = table entries per head; pos [B] = cache lengths.
+    k_new/v_new [B, KV, D]; c_new [B, KV, n_sub]. Returns
+    (o [B, KV, G, D], k', v', c') with caches updated in place (aliased).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    b, kv, g, d = q.shape
+    n_sub = c_cache.shape[3]
+    t_max = tables.shape[2]
+    write_codes = n_sub > 1
+    vmem_mb = 2 * kv * t_max * tps * ps * d * k_cache.dtype.itemsize / 2**20
+    assert vmem_mb < 12, (
+        f'packed K/V buffers need {vmem_mb:.1f} MB VMEM — reduce the '
+        f'table width (t_max), tps, or split kv heads across calls')
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, kv, g, d), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, kv, d, 1), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, kv, d, 1), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, kv, n_sub, 1), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, kv, t_max), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kv, g, d), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, 1, tps, d, kv * t_max * ps), k_cache.dtype),
+            pltpu.VMEM((1, 1, tps, d, kv * t_max * ps), v_cache.dtype),
+            pltpu.VMEM((1, kv, 1, n_sub, ps), c_cache.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((kv,)),
+            pltpu.SemaphoreType.DMA((kv,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(_rows_kernel, ps=ps, tps=tps, t_max=t_max,
+                               scale=scale,
+                               clamp=clamp, write_codes=write_codes, kv=kv)
+    o, k2, v2, c2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kv, g, d), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(c_cache.shape, c_cache.dtype),
+        ],
+        # flattened inputs: 3 scalars, q=3, k_cache=4, v_cache=5,
+        # c_cache=6, k_new=7, v_new=8, c_new=9, tables(vmem)=10
+        input_output_aliases={4: 1, 5: 2, 6: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=interpret,
+    )(tables, n_tiles, pos, q, k_cache, v_cache, c_cache,
+      k_new[..., None], v_new[..., None], c_new[..., None], tables)
+    return o, k2, v2, c2
+
+
+def decode_attention_rows_ref(q, k_cache, v_cache, c_cache, tables,
+                              n_tiles, pos, k_new, v_new, c_new, *,
+                              ps: int = 128, tps: int = 1,
+                              scale: float = 1.0, clamp: float = 0.0):
+    """jnp oracle for decode_attention_rows (same argument contract).
+    Caches tile-major [B, KV, NT, D, ps]."""
+    b, kv, g, d = q.shape
+    nt_all = k_cache.shape[2]
+    bi = jnp.arange(b)[:, None]
+    hi = jnp.arange(kv)[None, :]
+    wt = (pos // ps)[:, None]
+    wc = jax.lax.rem(pos, ps)[:, None]
+    upd = lambda cache, new: cache.at[bi, hi, wt, :, wc].set(
+        new.astype(cache.dtype))
+    k_cache = upd(k_cache, k_new)
+    v_cache = upd(v_cache, v_new)
+    c_cache = upd(c_cache, c_new)
+    t_max = tables.shape[2]
+    # expand table entries to their tps-wide tile ranges
+    gt = (jnp.maximum(tables, 0)[..., None]
+          + jnp.arange(tps)[None, None, None, :]).reshape(b, kv, -1)
+    pad = jnp.repeat(tables < 0, tps, axis=-1)
+    kg = jnp.take_along_axis(k_cache, gt[..., None, None], axis=2)
+    vg = jnp.take_along_axis(v_cache, gt[..., None, None], axis=2)
+    s = jnp.einsum('bkgd,bktdp->bkgtp', q.astype(jnp.float32),
+                   kg.astype(jnp.float32)) * scale
+    if clamp > 0.0:
+        s = jnp.clip(s, -clamp, clamp)
+    t_idx = jnp.arange(t_max * tps)[None, None, :, None] // tps
+    p_idx = jnp.arange(ps)[None, None, None, :]
+    w_tile = (pos // ps)[:, None, None, None]
+    w_col = jax.lax.rem(pos, ps)[:, None, None, None]
+    gt4 = gt[..., None]
+    n_valid = jnp.where(pad[..., None], 0,
+                        jnp.where(gt4 == w_tile, w_col + 1,
+                                  jnp.where(gt4 < w_tile, ps, 0)))
+    ok = (t_idx < n_tiles[:, None, None, None]) & (p_idx < n_valid)
+    s = jnp.where(ok[:, :, None], s, NEG_INF)
+    flat = s.reshape(b, kv, g, -1)
+    p = jax.nn.softmax(flat, axis=-1).reshape(s.shape)
+    p = jnp.where(ok[:, :, None], p, 0.0)
+    o = jnp.einsum('bkgtp,bktdp->bkgd', p.astype(vg.dtype), vg)
+    return o.astype(q.dtype), k_cache, v_cache, c_cache
