@@ -108,18 +108,26 @@ def _paged_decode_and_sample(iw, tokens, cache, active, rng, *, temperature):
     return tok, new
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _splice_slot(cache: KVCache, slot, mk, mv, mc, new_len) -> KVCache:
-    """Write a prefilled mini-cache ([L, 1, KV, sb, D]) into `slot` of the
-    shared cache, in place under donation."""
-    start = (0, slot, 0, 0, 0)
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(6,))
+def _splice_slot(cache: KVCache, slot, mk, mv, mc, new_len,
+                 n_layers) -> KVCache:
+    """Write a prefilled mini-cache ([1, KV, L*NTm, ., T] tile-major) into
+    `slot` of the shared cache, in place under donation. Layer blocks are
+    strided (NTm vs NT tiles per layer), so the splice runs on the
+    [B, KV, L, NT, ., T] views."""
+    nt = cache.tiles_per_layer(n_layers)
+    nt_m = mk.shape[2] // n_layers
+
+    def spl(big, mini):
+        b, h = big.shape[:2]
+        view = big.reshape(b, h, n_layers, nt, *big.shape[3:])
+        mview = mini.reshape(1, h, n_layers, nt_m, *mini.shape[3:])
+        view = jax.lax.dynamic_update_slice(
+            view, mview.astype(big.dtype), (slot, 0, 0, 0, 0, 0))
+        return view.reshape(big.shape)
+
     return KVCache(
-        k=jax.lax.dynamic_update_slice(cache.k, mk.astype(cache.k.dtype),
-                                       start),
-        v=jax.lax.dynamic_update_slice(cache.v, mv.astype(cache.v.dtype),
-                                       start),
-        codes=jax.lax.dynamic_update_slice(
-            cache.codes, mc.astype(cache.codes.dtype), start),
+        k=spl(cache.k, mk), v=spl(cache.v, mv), codes=spl(cache.codes, mc),
         length=cache.length.at[slot].set(new_len))
 
 
@@ -270,7 +278,8 @@ class ContinuousBatchingEngine:
                                             mini)
             # splice slot cache in place; true length is s (not padded sb)
             self.cache = _splice_slot(self.cache, slot, mini.k, mini.v,
-                                      mini.codes, s)
+                                      mini.codes, s,
+                                      self.iw.cfg.n_layers)
         self._rng, sub = jax.random.split(self._rng)
         tok = int(sample(logits[:, s - 1], sub,
                          temperature=self.temperature)[0])
@@ -299,7 +308,8 @@ class ContinuousBatchingEngine:
     def _grow(self, needed: int) -> None:
         """Grow the contiguous cache to the next bucket covering `needed`."""
         self.cap = min(round_up(needed, DECODE_BUCKET), self.max_len)
-        self.cache = grow_cache(self.cache, self.cap)
+        self.cache = grow_cache(self.cache, self.cap,
+                                self.iw.cfg.n_layers)
 
     def _cache_len(self, live: _Live) -> int:
         """Tokens currently in the slot's KV cache: the prefilled context

@@ -35,12 +35,24 @@ from spt_proto_tpu.ops import routed_ffn as rops
 NEG_INF = -1e30
 
 
+TILE = 128   # tokens per cache tile (the decode kernel's page size)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    k: jax.Array       # [L, B, H, S_max, D]
-    v: jax.Array       # [L, B, H, S_max, D]
-    codes: jax.Array   # [L, B, H, S_max, n_sub] int32 (zeros if not sparse)
+    """Layer-folded tile-major KV cache.
+
+    K/V live as [B, KV, L*NT, D, TILE]: tokens on the 128-lane minor axis
+    (required for aligned HBM tile DMAs at d_head 64, and the natural MXU
+    orientation for decode scores), tiles of layer l at [l*NT, (l+1)*NT).
+    The fused decode kernel (ops/pallas/decode_attention.py) reads only
+    the tiles its tables select and appends the new token's column in
+    place. smax = NT * TILE; max_len rounds up to a tile multiple.
+    """
+    k: jax.Array       # [B, KV, L*NT, D, TILE]
+    v: jax.Array       # [B, KV, L*NT, D, TILE]
+    codes: jax.Array   # [B, KV, L*NT, n_sub, TILE] int32 (width 1 if dense)
     length: jax.Array  # [B] int32 — tokens currently in each slot
 
     @staticmethod
@@ -48,11 +60,18 @@ class KVCache:
                dtype=jnp.bfloat16) -> 'KVCache':
         l, h, d = cfg.n_layers, cfg.kv_heads, cfg.d_head
         n_sub = cfg.n_subspaces if cfg.attention == ATTN_SPARSE_V2 else 1
+        nt = -(-max_len // TILE)
         return KVCache(
-            k=jnp.zeros((l, batch, h, max_len, d), dtype),
-            v=jnp.zeros((l, batch, h, max_len, d), dtype),
-            codes=jnp.zeros((l, batch, h, max_len, n_sub), jnp.int32),
+            k=jnp.zeros((batch, h, l * nt, d, TILE), dtype),
+            v=jnp.zeros((batch, h, l * nt, d, TILE), dtype),
+            codes=jnp.zeros((batch, h, l * nt, n_sub, TILE), jnp.int32),
             length=jnp.zeros((batch,), jnp.int32))
+
+    def tiles_per_layer(self, n_layers: int) -> int:
+        return self.k.shape[2] // n_layers
+
+    def smax(self, n_layers: int) -> int:
+        return self.tiles_per_layer(n_layers) * TILE
 
 
 # ---------------------------------------------------------------------------
@@ -275,16 +294,28 @@ def prefill(iw: InferenceWeights, tokens: jax.Array,
         return x, (k_kv, v_kv, k_codes_cache)
 
     x, (ks, vs, codes) = jax.lax.scan(layer, x, p['blocks'])
-    # write cache (prompt occupies positions [0, s))
-    smax = cache.k.shape[3]
+    # write the cache tile-major: [L, B, KV, S, .] -> [B, KV, L, NTm, ., T]
+    l = cfg.n_layers
+    nt = cache.tiles_per_layer(l)
+    nt_m = -(-s // TILE)
+
+    def to_tiles(x_std, width):
+        pad = nt_m * TILE - s
+        xp = jnp.pad(x_std, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+        xp = xp.reshape(l, b, cfg.kv_heads, nt_m, TILE, width)
+        return xp.transpose(1, 2, 0, 3, 5, 4)   # [B,KV,L,NTm,w,T]
+
+    def splice(big, tiles):
+        view = big.reshape(b, cfg.kv_heads, l, nt, *big.shape[3:])
+        view = jax.lax.dynamic_update_slice(
+            view, tiles.astype(big.dtype), (0, 0, 0, 0, 0, 0))
+        return view.reshape(big.shape)
+
+    codes = codes.astype(jnp.int32)[..., :cache.codes.shape[3]]
     cache = KVCache(
-        k=jax.lax.dynamic_update_slice(
-            cache.k, ks.astype(cache.k.dtype), (0, 0, 0, 0, 0)),
-        v=jax.lax.dynamic_update_slice(
-            cache.v, vs.astype(cache.v.dtype), (0, 0, 0, 0, 0)),
-        codes=jax.lax.dynamic_update_slice(
-            cache.codes, codes.astype(jnp.int32)[..., :cache.codes.shape[-1]],
-            (0, 0, 0, 0, 0)),
+        k=splice(cache.k, to_tiles(ks, cfg.d_head)),
+        v=splice(cache.v, to_tiles(vs, cfg.d_head)),
+        codes=splice(cache.codes, to_tiles(codes, cache.codes.shape[3])),
         length=jnp.full_like(cache.length, s))
     x = _norm(cfg, p['final_norm'], x)
     logits = _dense(p['lm_head'], x)
@@ -300,19 +331,28 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
     """One token per active slot. tokens [B] int32; positions come from
     cache.length (per-slot). Returns (logits [B, V], new cache).
 
-    Cache-update design (round 2): each layer computes the new token's
-    K/V/code COLUMN and attends over the existing cache (positions < pos)
-    plus the current token explicitly — the cache itself is untouched
-    inside the layer scan. After the scan, ONE scatter writes all layers'
-    columns ([L, B, KV, D] — a few hundred KB) into the cache; under
-    jit donation (donate the cache argument) that scatter is in place, so
-    per-step HBM write cost is O(L·B·H·D) instead of a full-cache rewrite.
-    The caller controls smax (length bucketing): per-step read cost then
-    tracks the actual context, not max_len — see generate()."""
+    Round-2 design: every mode runs through the fused tile-table decode
+    kernel (ops/pallas/decode_attention.py; interpret mode off-TPU).
+    Per layer, the step computes the new token's Q/K/V (+PQ codes),
+    builds per-(slot, kv-head) tile tables — every tile up to the cursor
+    for dense, the top PQ-match tiles (+ the current tile) for sparse —
+    and the kernel streams ONLY those tiles, appending the new column in
+    place (the cache is the scan carry and the jit caller donates it, so
+    there is no per-step cache copy at all). Per-step cost therefore
+    tracks the actual context and the configured sparsity, not max_len.
+
+    GQA note: sparse tile selection is per KV head (group-pooled match
+    scores) — the kernel packs each kv head's tiles once for its G query
+    rows. The reference selects per query row (sparse/attention.py), but
+    it has no GQA at all; this is the TPU-native trade.
+    """
+    from spt_proto_tpu.ops.pallas.decode_attention import (
+        decode_attention_rows)
     cfg = iw.cfg
     p = iw.params
     b = tokens.shape[0]
-    smax = cache.k.shape[3]
+    l = cfg.n_layers
+    nt = cache.tiles_per_layer(l)
     pos = cache.length                                   # [B]
     h_tok = p['embedding']['embedding'][tokens][:, None]  # [B, 1, D]
     if cfg.arch == 'opt':
@@ -322,145 +362,81 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
     sparse = cfg.attention == ATTN_SPARSE_V2
     scale = cfg.d_head ** -0.5
     kv, g = cfg.kv_heads, cfg.kv_groups
-    # strictly-cached positions; the current token is handled explicitly
-    valid = jnp.arange(smax)[None, :] < pos[:, None]      # [B, S]
+    cur = pos // TILE                                     # [B]
+    # dense tables cover [0, cur] in tps-wide supertiles (fat DMAs)
+    tps_d = 4 if nt % 4 == 0 and nt >= 8 else 1
+    n_sup_max = -(-nt // tps_d)
+    if sparse:
+        nsel = min(nt, max(1, nt // cfg.sparse_coeff) + 1)
 
     def layer(carry, inp):
-        x = carry
-        bp, k_cache, v_cache, c_cache = inp
+        x, kc, vc, cc = carry
+        bp, lix = inp
         hn = _norm(cfg, bp['norm1'], x)
         q = _dense(bp['mha']['q'], hn)
         k = _dense(bp['mha']['k'], hn)
         v = _dense(bp['mha']['v'], hn)
-        q = q.reshape(b, 1, cfg.n_heads, cfg.d_head).transpose(0, 2, 1, 3)
-        kvh = lambda t: t.reshape(b, 1, kv, cfg.d_head).transpose(0, 2, 1, 3)
-        k, v = kvh(k), kvh(v)                             # [B, KV, 1, D]
+        q4 = q.reshape(b, kv, g, cfg.d_head)              # [B, KV, G, D]
+        k_new = k.reshape(b, kv, cfg.d_head)
+        v_new = v.reshape(b, kv, cfg.d_head)
         if cfg.arch == 'llama':
-            q = _apply_rope_1(q, pos[:, None], cfg.rope_base)
-            k = _apply_rope_1(k, pos[:, None], cfg.rope_base)
-        k_new = k[:, :, 0, :]                             # [B, KV, D]
-        v_new = v[:, :, 0, :]
-        # grouped-query view: [B, KV, G, D]; for MHA G == 1 per head group
-        qg = q[:, :, 0, :].reshape(b, kv, g, cfg.d_head)
-        # self-attention score of the new token against itself
-        self_s = jnp.sum(qg.astype(jnp.float32)
-                         * k_new.astype(jnp.float32)[:, :, None, :],
-                         axis=-1) * scale                 # [B, KV, G]
+            q4 = _apply_rope_1(q4.reshape(b, kv * g, 1, cfg.d_head),
+                               pos[:, None], cfg.rope_base
+                               ).reshape(b, kv, g, cfg.d_head)
+            k_new = _apply_rope_1(k_new[:, :, None], pos[:, None],
+                                  cfg.rope_base)[:, :, 0]
+        base = jnp.full((b,), lix * nt, jnp.int32)
         if sparse:
             codes_q = _encode_codes(cfg, bp['mha']['quantizer'],
-                                    qg.reshape(b, kv * g, cfg.d_head))
-            codes_q = codes_q.reshape(b, kv, g, -1)       # [B, KV, G, n_sub]
+                                    q4.reshape(b, kv * g, cfg.d_head))
+            codes_q = codes_q.reshape(b, kv, g, -1)
             c_new = _encode_codes(cfg, bp['mha']['quantizer'], k_new)
-            self_s = jnp.clip(self_s, -cfg.score_clamp, cfg.score_clamp)
-            # O(S * n_sub) incremental match count per head
+            # per-layer code tiles [B, KV, NT, n_sub, T]
+            c_l = jax.lax.dynamic_slice(
+                cc, (0, 0, lix * nt, 0, 0),
+                (b, kv, nt, cc.shape[3], TILE))
             match = jnp.sum(
-                (c_cache[:, :, None] == codes_q[:, :, :, None]).astype(
-                    jnp.float32), axis=-1)                # [B, KV, G, S]
-            match = jnp.where(valid[:, None, None, :], match, -1.0)
-            tile_sz = 128
-            use_tiles = (cfg.sparse_decode == 'tiles'
-                         and smax % tile_sz == 0 and smax >= 2 * tile_sz)
-            if use_tiles:
-                # tile-granular selection (the decode analog of the
-                # block-sparse prefill): pool match scores per key tile,
-                # top-k over n_tiles (tiny), gather contiguous tiles.
-                # Avoids the full-row lax.top_k that dominates rows-mode.
-                nt = smax // tile_sz
-                tscore = match.reshape(b, kv, g, nt, tile_sz).mean(-1)
-                t_start = jnp.arange(nt)[None, :] * tile_sz
-                t_valid = t_start < pos[:, None]           # [B, nt]
-                tscore = jnp.where(t_valid[:, None, None, :], tscore,
-                                   -jnp.inf)
-                # force the most recent tile (recency window)
-                cur = (jnp.maximum(pos, 1) - 1) // tile_sz  # [B]
-                tscore = jnp.where(
-                    (jnp.arange(nt)[None, :] == cur[:, None]
-                     )[:, None, None, :], jnp.inf, tscore)
-                nsel = min(nt, max(1, nt // cfg.sparse_coeff) + 1)
-                tvals, tidx = jax.lax.top_k(tscore, nsel)  # [B,KV,G,nsel]
-                tile_ok = tvals > -jnp.inf
-                kt = k_cache.reshape(b, kv, nt, tile_sz, cfg.d_head)
-                vt = v_cache.reshape(b, kv, nt, tile_sz, cfg.d_head)
-                safe = jnp.maximum(tidx, 0).reshape(b, kv, g * nsel)
-                kg = jnp.take_along_axis(
-                    kt, safe[..., None, None], axis=2).reshape(
-                        b, kv, g, nsel, tile_sz, cfg.d_head)
-                vg = jnp.take_along_axis(
-                    vt, safe[..., None, None], axis=2).reshape(
-                        b, kv, g, nsel, tile_sz, cfg.d_head)
-                cols = jnp.maximum(tidx, 0)[..., None] * tile_sz \
-                    + jnp.arange(tile_sz)                  # [B,KV,G,ns,ts]
-                ok = (cols < pos[:, None, None, None, None]) & \
-                    tile_ok[..., None]
-                scores = jnp.einsum('bkgd,bkgstd->bkgst', qg, kg,
-                                    preferred_element_type=jnp.float32
-                                    ) * scale
-                scores = jnp.clip(scores, -cfg.score_clamp,
-                                  cfg.score_clamp)
-                scores = jnp.where(ok, scores, NEG_INF)
-                flat = jnp.concatenate(
-                    [scores.reshape(b, kv, g, -1), self_s[..., None]],
-                    axis=-1)
-                probs = jax.nn.softmax(flat, axis=-1)
-                p_cache = jnp.where(
-                    ok, probs[..., :-1].reshape(scores.shape), 0.0
-                ).astype(vg.dtype)
-                o = jnp.einsum('bkgst,bkgstd->bkgd', p_cache, vg) \
-                    + probs[..., -1:].astype(v_new.dtype) \
-                    * v_new[:, :, None, :]
-            else:
-                top_k = max(1, smax // cfg.sparse_coeff)
-                mvals, midx = jax.lax.top_k(match, top_k)  # [B,KV,G,K]
-                sel_valid = mvals >= 0.0
-                flat_idx = midx.reshape(b, kv, g * top_k)
-                kg = jnp.take_along_axis(
-                    k_cache, flat_idx[..., None], axis=2).reshape(
-                        b, kv, g, top_k, cfg.d_head)
-                vg = jnp.take_along_axis(
-                    v_cache, flat_idx[..., None], axis=2).reshape(
-                        b, kv, g, top_k, cfg.d_head)
-                scores = jnp.einsum('bkgd,bkgjd->bkgj', qg, kg,
-                                    preferred_element_type=jnp.float32
-                                    ) * scale
-                scores = jnp.clip(scores, -cfg.score_clamp,
-                                  cfg.score_clamp)
-                scores = jnp.where(sel_valid, scores, NEG_INF)
-                flat = jnp.concatenate([scores, self_s[..., None]], -1)
-                probs = jax.nn.softmax(flat, axis=-1)
-                p_cache = jnp.where(sel_valid, probs[..., :-1],
-                                    0.0).astype(vg.dtype)
-                o = jnp.einsum('bkgj,bkgjd->bkgd', p_cache, vg) \
-                    + probs[..., -1:].astype(v_new.dtype) \
-                    * v_new[:, :, None, :]
+                (c_l[:, :, None] == codes_q[:, :, :, None, :, None]
+                 ).astype(jnp.float32), axis=4)            # [B,KV,G,NT,T]
+            # group-pooled tile scores over FULL tiles only (< cur);
+            # the current (partial) tile is always appended last
+            tscore = match.mean(axis=(2, 4))               # [B, KV, NT]
+            full_t = jnp.arange(nt)[None, :] < cur[:, None]
+            tscore = jnp.where(full_t[:, None, :], tscore, -jnp.inf)
+            svals, sidx = jax.lax.top_k(tscore, nsel - 1)  # [B,KV,nsel-1]
+            s_ok = svals > -jnp.inf
+            rel = jnp.where(s_ok, sidx, -1)
+            tables = jnp.concatenate(
+                [rel, jnp.broadcast_to(cur[:, None, None],
+                                       (b, kv, 1))], axis=-1)
+            n_tiles = jnp.full((b,), nsel, jnp.int32)
+            tps = 1
+            clamp = cfg.score_clamp
         else:
-            c_new = jnp.zeros((b, kv, c_cache.shape[-1]), c_cache.dtype)
-            scores = jnp.einsum('bkgd,bkjd->bkgj', qg, k_cache,
-                                preferred_element_type=jnp.float32) * scale
-            scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
-            flat = jnp.concatenate([scores, self_s[..., None]], -1)
-            probs = jax.nn.softmax(flat, axis=-1)
-            p_cache = jnp.where(valid[:, None, None, :], probs[..., :-1],
-                                0.0).astype(q.dtype)
-            o = jnp.einsum('bkgj,bkjd->bkgd', p_cache, v_cache) \
-                + probs[..., -1:].astype(v_new.dtype) * v_new[:, :, None, :]
-        o = o.reshape(b, 1, cfg.d_model)      # [B,KV,G,D] -> head order
+            c_new = jnp.zeros((b, kv, cc.shape[3]), jnp.int32)
+            e = jnp.arange(n_sup_max, dtype=jnp.int32)
+            n_sup = cur // tps_d + 1                       # [B]
+            rel = jnp.where(e[None] < n_sup[:, None], e * tps_d, -1)
+            # contract: entry n_tiles-1 must contain pos — true since
+            # entry n_sup-1 covers [(n_sup-1)*tps, n_sup*tps)
+            tables = jnp.broadcast_to(rel[:, None, :], (b, kv, n_sup_max))
+            n_tiles = n_sup
+            tps = tps_d
+            clamp = 0.0
+        tables = jnp.where(tables < 0, -1, tables + lix * nt)
+        o, kc, vc, cc = decode_attention_rows(
+            q4, kc, vc, cc, tables.astype(jnp.int32), n_tiles, pos,
+            k_new, v_new, c_new.astype(jnp.int32), base,
+            ps=TILE, tps=tps, scale=scale, clamp=clamp)
+        o = o.reshape(b, 1, cfg.d_model)
         x = x + _dense(bp['mha']['o'], o)
         x = x + _ffn(cfg, bp['ffn'], _norm(cfg, bp['norm2'], x))
-        return x, (k_new, v_new, c_new)
+        return (x, kc, vc, cc), None
 
-    x, (k_cols, v_cols, c_cols) = jax.lax.scan(
-        layer, x, (p['blocks'], cache.k, cache.v, cache.codes))
-    # single column write; with the cache donated this is in place
-    n_layers = cache.k.shape[0]
-    li = jnp.arange(n_layers)[:, None]                    # [L, 1]
-    bi = jnp.arange(b)[None, :]                           # [1, B]
-    wpos = jnp.minimum(pos, smax - 1)[None, :]            # [1, B]
-    cache = KVCache(
-        k=cache.k.at[li, bi, :, wpos].set(k_cols.astype(cache.k.dtype)),
-        v=cache.v.at[li, bi, :, wpos].set(v_cols.astype(cache.v.dtype)),
-        codes=cache.codes.at[li, bi, :, wpos].set(
-            c_cols.astype(cache.codes.dtype)),
-        length=cache.length + 1)
+    (x, kc, vc, cc), _ = jax.lax.scan(
+        layer, (x, cache.k, cache.v, cache.codes),
+        (p['blocks'], jnp.arange(l)))
+    cache = KVCache(k=kc, v=vc, codes=cc, length=cache.length + 1)
     x = _norm(cfg, p['final_norm'], x)
     logits = _dense(p['lm_head'], x[:, 0])
     return logits, cache
@@ -477,14 +453,24 @@ def round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
-def grow_cache(cache: KVCache, new_len: int) -> KVCache:
-    """Extend smax by zero-padding (donated: the old buffers free early).
-    Decode cost tracks the current bucket instead of the final max_len."""
-    pad = new_len - cache.k.shape[3]
-    w = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
-    return KVCache(k=jnp.pad(cache.k, w), v=jnp.pad(cache.v, w),
-                   codes=jnp.pad(cache.codes, w), length=cache.length)
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(0,))
+def grow_cache(cache: KVCache, new_len: int, n_layers: int) -> KVCache:
+    """Extend smax by zero-padding tiles per layer block (donated: the old
+    buffers free early). Decode cost tracks the current bucket instead of
+    the final max_len."""
+    nt_old = cache.tiles_per_layer(n_layers)
+    nt_new = -(-new_len // TILE)
+    pad = nt_new - nt_old
+
+    def grow(big):
+        b, h = big.shape[:2]
+        view = big.reshape(b, h, n_layers, nt_old, *big.shape[3:])
+        w = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0), (0, 0))
+        return jnp.pad(view, w).reshape(b, h, n_layers * nt_new,
+                                        *big.shape[3:])
+
+    return KVCache(k=grow(cache.k), v=grow(cache.v),
+                   codes=grow(cache.codes), length=cache.length)
 
 
 # ---------------------------------------------------------------------------
@@ -557,7 +543,7 @@ def generate(iw: InferenceWeights, prompts: jax.Array, max_new_tokens: int,
             break
         if max_pos + 1 > cap and cap < limit:
             cap = min(round_up(max_pos + 1, DECODE_BUCKET), limit)
-            cache = grow_cache(cache, cap)
+            cache = grow_cache(cache, cap, iw.cfg.n_layers)
         rng, sub = jax.random.split(rng)
         logits, cache = step_fn(iw, tok, cache)
         max_pos += 1

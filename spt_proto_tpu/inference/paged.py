@@ -257,34 +257,44 @@ def paged_prefill(iw: InferenceWeights, tokens: jax.Array,
     """Prompt pass writing K/V (and PQ codes) into assigned pages.
     tokens [B, S]; cache.page_indices rows must already hold >=
     ceil(S/ps) logical pages."""
-    from spt_proto_tpu.inference.engine import KVCache, prefill
+    from spt_proto_tpu.inference.engine import TILE, KVCache, prefill
     cfg = iw.cfg
     b, s = tokens.shape
     ps = cache.page_size
     n_log = cache.n_logical(cfg.n_layers)
     tmp = KVCache.create(cfg, b, s, dtype=cache.k_pages.dtype)
     logits, tmp = prefill(iw, tokens, tmp)
-    # scatter [L, B, KV, S, .] into merged pools [KV, L*N+1, ps, .]
+    # tmp is layer-folded tile-major [B, KV, L*NTm, w, T]; unfold to
+    # [L, B, KV, S, w] then scatter into merged pools [KV, L*N+1, ps, .]
     pps_used = -(-s // ps)
     pad = pps_used * ps - s
-    widths = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
-    l, _, h, _, d = tmp.k.shape
+    l, h = cfg.n_layers, cfg.kv_heads
+    nt_m = tmp.tiles_per_layer(l)
+
+    def to_std(tiled, width):
+        x = tiled.reshape(b, h, l, nt_m, width, TILE)
+        x = x.transpose(2, 0, 1, 3, 5, 4)           # [L,B,KV,NTm,T,w]
+        return x.reshape(l, b, h, nt_m * TILE, width)[:, :, :, :s]
 
     def to_pages(x):
         # [L, B, KV, S(+pad), w] -> [KV, L*B*pps, ps, w]
         w = x.shape[-1]
+        widths = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
         x = jnp.pad(x, widths).reshape(l, b, h, pps_used, ps, w)
         return x.transpose(2, 0, 1, 3, 4, 5).reshape(h, -1, ps, w)
 
     logical = jnp.maximum(cache.page_indices[:, :pps_used], 0)  # [B, pps]
     phys = (jnp.arange(l)[:, None, None] * n_log
             + logical[None]).reshape(-1)               # [L*B*pps]
-    k_pages = cache.k_pages.at[:, phys].set(to_pages(tmp.k))
-    v_pages = cache.v_pages.at[:, phys].set(to_pages(tmp.v))
+    k_pages = cache.k_pages.at[:, phys].set(
+        to_pages(to_std(tmp.k, cfg.d_head)))
+    v_pages = cache.v_pages.at[:, phys].set(
+        to_pages(to_std(tmp.v, cfg.d_head)))
     c_pages = cache.c_pages
     if cfg.attention == ATTN_SPARSE_V2:
         c_pages = c_pages.at[:, phys].set(
-            to_pages(tmp.codes.astype(jnp.int32)))
+            to_pages(to_std(tmp.codes.astype(jnp.int32),
+                            tmp.codes.shape[3])))
     return logits, PagedKVCache(
         k_pages=k_pages, v_pages=v_pages, c_pages=c_pages,
         page_indices=cache.page_indices,

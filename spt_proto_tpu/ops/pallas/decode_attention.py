@@ -276,7 +276,7 @@ def decode_attention_ref(q, k_pool, v_pool, c_pool, tables, n_tiles,
 # (fully masked). All heads of a slot share the write column pos[b], so
 # the K/V/code column merges ride the write-tile visit in VMEM.
 
-def _rows_kernel(tables, n_tiles, pos,                              # SMEM
+def _rows_kernel(tables, n_tiles, pos, tile_base,                   # SMEM
                  q_ref, k_ref, v_ref, c_ref, kn_ref, vn_ref, cn_ref,
                  tabv_ref,
                  o_ref, k_out, v_out, c_out,
@@ -298,7 +298,9 @@ def _rows_kernel(tables, n_tiles, pos,                              # SMEM
     d = q_ref.shape[3]
     n_t = n_tiles[b]                    # table entries per head (uniform)
     p_b = pos[b]
-    w_tile = p_b // ps
+    # physical write tile: tile_base folds an outer axis (e.g. the layer)
+    # into the tile id space — table entries are physical too
+    w_tile = tile_base[b] + p_b // ps
     w_col = jax.lax.rem(p_b, ps)
     hspan = t_max * ps                  # lanes per head (per sub-tile u)
     ltot = kv * hspan
@@ -429,7 +431,8 @@ def _rows_kernel(tables, n_tiles, pos,                              # SMEM
 @functools.partial(
     jax.jit, static_argnames=('ps', 'tps', 'scale', 'clamp', 'interpret'))
 def decode_attention_rows(q, k_cache, v_cache, c_cache, tables, n_tiles,
-                          pos, k_new, v_new, c_new, *, ps: int = 128,
+                          pos, k_new, v_new, c_new, tile_base=None, *,
+                          ps: int = 128,
                           tps: int = 1, scale: float = 1.0,
                           clamp: float = 0.0,
                           interpret: Optional[bool] = None):
@@ -454,14 +457,16 @@ def decode_attention_rows(q, k_cache, v_cache, c_cache, tables, n_tiles,
     assert vmem_mb < 12, (
         f'packed K/V buffers need {vmem_mb:.1f} MB VMEM — reduce the '
         f'table width (t_max), tps, or split kv heads across calls')
+    if tile_base is None:
+        tile_base = jnp.zeros((b,), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, kv, g, d), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((1, kv, d, 1), lambda i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((1, kv, d, 1), lambda i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((1, kv, n_sub, 1), lambda i, *_: (i, 0, 0, 0)),
@@ -469,9 +474,9 @@ def decode_attention_rows(q, k_cache, v_cache, c_cache, tables, n_tiles,
         ],
         out_specs=[
             pl.BlockSpec((1, kv, g, d), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, 1, tps, d, kv * t_max * ps), k_cache.dtype),
@@ -495,28 +500,31 @@ def decode_attention_rows(q, k_cache, v_cache, c_cache, tables, n_tiles,
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
             jax.ShapeDtypeStruct(c_cache.shape, c_cache.dtype),
         ],
-        # flattened inputs: 3 scalars, q=3, k_cache=4, v_cache=5,
-        # c_cache=6, k_new=7, v_new=8, c_new=9, tables(vmem)=10
-        input_output_aliases={4: 1, 5: 2, 6: 3},
+        # flattened inputs: 4 scalars, q=4, k_cache=5, v_cache=6,
+        # c_cache=7, k_new=8, v_new=9, c_new=10, tables(vmem)=11
+        input_output_aliases={5: 1, 6: 2, 7: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',)),
         interpret=interpret,
-    )(tables, n_tiles, pos, q, k_cache, v_cache, c_cache,
+    )(tables, n_tiles, pos, tile_base, q, k_cache, v_cache, c_cache,
       k_new[..., None], v_new[..., None], c_new[..., None], tables)
     return o, k2, v2, c2
 
 
 def decode_attention_rows_ref(q, k_cache, v_cache, c_cache, tables,
-                              n_tiles, pos, k_new, v_new, c_new, *,
+                              n_tiles, pos, k_new, v_new, c_new,
+                              tile_base=None, *,
                               ps: int = 128, tps: int = 1,
                               scale: float = 1.0, clamp: float = 0.0):
     """jnp oracle for decode_attention_rows (same argument contract).
     Caches tile-major [B, KV, NT, D, ps]."""
     b, kv, g, d = q.shape
     nt_all = k_cache.shape[2]
+    if tile_base is None:
+        tile_base = jnp.zeros((b,), jnp.int32)
     bi = jnp.arange(b)[:, None]
     hi = jnp.arange(kv)[None, :]
-    wt = (pos // ps)[:, None]
+    wt = (tile_base + pos // ps)[:, None]
     wc = jax.lax.rem(pos, ps)[:, None]
     upd = lambda cache, new: cache.at[bi, hi, wt, :, wc].set(
         new.astype(cache.dtype))
@@ -536,7 +544,7 @@ def decode_attention_rows_ref(q, k_cache, v_cache, c_cache, tables,
         s = jnp.clip(s, -clamp, clamp)
     t_idx = jnp.arange(t_max * tps)[None, None, :, None] // tps
     p_idx = jnp.arange(ps)[None, None, None, :]
-    w_tile = (pos // ps)[:, None, None, None]
+    w_tile = (tile_base + pos // ps)[:, None, None, None]
     w_col = jax.lax.rem(pos, ps)[:, None, None, None]
     gt4 = gt[..., None]
     n_valid = jnp.where(pad[..., None], 0,

@@ -27,10 +27,10 @@ def shard_inference_weights(mesh: Mesh, iw: InferenceWeights
 
 
 def cache_shardings(mesh: Mesh, cache: KVCache) -> KVCache:
-    kv = NamedSharding(mesh, P(None, 'data', 'model', None, None))
+    # tile-major layout [B, KV, L*NT, D, TILE]
+    kv = NamedSharding(mesh, P('data', 'model', None, None, None))
     return KVCache(
-        k=kv, v=kv,
-        codes=NamedSharding(mesh, P(None, 'data', 'model', None, None)),
+        k=kv, v=kv, codes=kv,
         length=NamedSharding(mesh, P('data')))
 
 
