@@ -1,12 +1,20 @@
 """Benchmark entry: prints ONE JSON line with the headline metric.
 
-Headline: decoder tokens/sec/chip for the flagship SPT configuration
-(PQ sparse attention + routed FFN + LoRA over an OPT backbone) on a
-teacher-forced full-sequence forward pass (the reference's evaluation
-regime — it has no decode loop; SURVEY §0). vs_baseline compares against the
-same-shape dense-attention dense-FFN model measured in the same run, mapped
-onto the paper's headline "up to 2.2x fine-tuning speedup" (README.md:5):
-vs_baseline = sparse_tokens_per_s / dense_tokens_per_s.
+Headline (north star, BASELINE.md): steady-state decode OUTPUT tokens/sec/chip
+for the flagship SPT configuration (PQ tile-sparse attention over the
+tile-major KV cache) on OPT-125M at context 2048, batch 8. vs_baseline
+compares against the same-shape dense-attention decode measured in the same
+run: vs_baseline = sparse_decode_tps / dense_decode_tps.
+
+Supplementary keys report the reference's own regime — teacher-forced
+full-sequence forward (the reference has no decode loop; SURVEY §0) — for
+continuity with BENCH_r01.json, mapped onto the paper's "up to 2.2x
+fine-tuning speedup" claim (reference README.md:5).
+
+All timing loops run ON DEVICE (lax.scan inside one jit dispatch, one scalar
+host fetch): the TPU sits behind a tunnel with ~0.3 s/dispatch latency and
+an early-returning block_until_ready, so host-side per-call timing would
+fake the numbers.
 """
 from __future__ import annotations
 
@@ -18,9 +26,7 @@ import jax.numpy as jnp
 
 
 def _bench_forward(cfg, batch_size: int, seq_len: int, iters: int = 20):
-    """Time `iters` forward passes looped ON DEVICE (lax.scan inside one
-    jit dispatch) — host-side per-call latency (e.g. a tunneled TPU) would
-    otherwise dominate and fake the measurement."""
+    """Teacher-forced forward tokens/s, iterated on device."""
     from spt_proto_tpu.models.decoder import DecoderLM
     model = DecoderLM(cfg=cfg)
     tokens = jnp.zeros((batch_size, seq_len), jnp.int32)
@@ -45,17 +51,75 @@ def _bench_forward(cfg, batch_size: int, seq_len: int, iters: int = 20):
     return batch_size * seq_len / dt
 
 
+def _bench_decode(cfg, params, batch: int, prompt_len: int, max_len: int,
+                  steps: int):
+    """Steady-state greedy decode output tokens/s after a prefill."""
+    import numpy as np
+    from spt_proto_tpu.inference.engine import KVCache, decode_step, prefill
+    from spt_proto_tpu.inference.weights import InferenceWeights
+
+    iw = InferenceWeights.from_params(cfg, params)
+    rng = np.random.RandomState(0)
+    prompts = jnp.asarray(
+        rng.randint(1, cfg.vocab_size, size=(batch, prompt_len)), jnp.int32)
+    cache = KVCache.create(cfg, batch, max_len, dtype=cfg.dtype)
+    logits, cache = jax.jit(prefill)(iw, prompts, cache)
+
+    @jax.jit
+    def k_steps(iw, tok, cache):
+        def body(carry, _):
+            tok, cache = carry
+            lg, cache = decode_step(iw, tok, cache)
+            return (jnp.argmax(lg, -1).astype(jnp.int32), cache), ()
+        (tok, cache), _ = jax.lax.scan(body, (tok, cache), None,
+                                       length=steps)
+        return tok, cache
+
+    tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    tok2, _ = k_steps(iw, tok, cache)
+    np.asarray(tok2)          # compile; full host fetch (tunnel-safe)
+    t0 = time.perf_counter()
+    tok3, _ = k_steps(iw, tok, cache)
+    np.asarray(tok3)
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
 def main():
-    from spt_proto_tpu.config import ModelConfig
+    from spt_proto_tpu.config import ModelConfig, opt_config
+    from spt_proto_tpu.tuning import surgery
 
     on_tpu = jax.devices()[0].platform == 'tpu'
-    batch, seq = (4, 2048) if on_tpu else (2, 256)
+
+    # --- decode (headline): OPT-125M, ctx 2048, batch 8 ---------------
+    if on_tpu:
+        dcfg = opt_config('125m').replace(
+            dtype=jnp.bfloat16, attn_impl='pallas', pq_metric='l2')
+        batch, prompt_len, steps = 8, 2048, 64
+    else:
+        dcfg = ModelConfig(arch='opt', d_model=256, n_heads=4, n_layers=2,
+                           max_length=512, vocab_size=1024,
+                           d_feedforward=1024)
+        batch, prompt_len, steps = 2, 256, 8
+    max_len = prompt_len + 128
+    dcfg = dcfg.replace(max_length=max_len)
+    params = surgery.init_params(dcfg, jax.random.PRNGKey(0))
+    dense_dec = _bench_decode(dcfg, params, batch, prompt_len, max_len,
+                              steps)
+    scfg, sparams = surgery.upgrade(dcfg, params, 'mha_v1',
+                                    jax.random.PRNGKey(0))
+    scfg, sparams = surgery.upgrade(scfg, sparams, 'mha_v2',
+                                    jax.random.PRNGKey(1))
+    sparse_dec = _bench_decode(scfg, sparams, batch, prompt_len, max_len,
+                               steps)
+
+    # --- forward (reference's regime, supplementary) ------------------
+    fbatch, fseq = (4, 2048) if on_tpu else (2, 256)
     base = dict(arch='opt', d_model=768, n_heads=12, n_layers=4,
                 max_length=2048, vocab_size=50272, d_feedforward=3072,
                 dtype=jnp.bfloat16 if on_tpu else jnp.float32,
                 param_dtype=jnp.float32,
                 attn_impl='pallas' if on_tpu else 'ref')
-
     dense_cfg = ModelConfig(**base)
     # ffn_impl stays 'masked': at 4 blocks / 50% density the dense-masked
     # einsum beats grouped-matmul dispatch (sort+scatter overhead); 'gmm'
@@ -64,15 +128,19 @@ def main():
                              ffn='routed', ffn_block_size=768,
                              pq_metric='l2' if on_tpu else 'l1')
     sparse_cfg.validate()
-
-    dense_tps = _bench_forward(dense_cfg, batch, seq)
-    sparse_tps = _bench_forward(sparse_cfg, batch, seq)
+    dense_fwd = _bench_forward(dense_cfg, fbatch, fseq)
+    sparse_fwd = _bench_forward(sparse_cfg, fbatch, fseq)
 
     print(json.dumps({
-        'metric': 'spt_forward_tokens_per_sec_per_chip',
-        'value': round(sparse_tps, 1),
+        'metric': 'spt_decode_output_tokens_per_sec_per_chip',
+        'value': round(sparse_dec, 1),
         'unit': 'tokens/s',
-        'vs_baseline': round(sparse_tps / dense_tps, 3),
+        'vs_baseline': round(sparse_dec / dense_dec, 3),
+        'decode_dense_tokens_per_sec': round(dense_dec, 1),
+        'decode_context': prompt_len,
+        'decode_batch': batch,
+        'forward_tokens_per_sec': round(sparse_fwd, 1),
+        'forward_vs_dense': round(sparse_fwd / dense_fwd, 3),
     }))
 
 
