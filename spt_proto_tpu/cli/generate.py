@@ -23,6 +23,10 @@ def main(argv=None):
                    help='INT8 weight-only quantized serving')
     p.add_argument('--continuous', action='store_true',
                    help='serve via the continuous batching engine')
+    p.add_argument('--prefill_chunk', type=int, default=None,
+                   help='chunked prefill: split prompts longer than this '
+                        'across engine steps (multiple of 128; '
+                        '--continuous only)')
     args = p.parse_args(argv)
 
     import jax
@@ -49,7 +53,8 @@ def main(argv=None):
         eng = ContinuousBatchingEngine(
             iw, n_slots=min(8, len(enc)),
             max_len=max(len(e) for e in enc) + args.max_new_tokens,
-            temperature=args.temperature, eos_id=tok.eos_token_id)
+            temperature=args.temperature, eos_id=tok.eos_token_id,
+            prefill_chunk=args.prefill_chunk)
         rids = [eng.submit(e, args.max_new_tokens) for e in enc]
         by_id = {c.request_id: c.tokens for c in eng.run_until_done()}
         outs = [by_id[r] for r in rids]

@@ -26,9 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spt_proto_tpu.inference.engine import (DECODE_BUCKET, KVCache,
+from spt_proto_tpu.inference.engine import (DECODE_BUCKET, TILE, KVCache,
                                             decode_step, grow_cache, prefill,
                                             round_up, sample)
+from spt_proto_tpu.inference.engine import prefill_chunk as _chunk_prefill
 from spt_proto_tpu.inference.weights import InferenceWeights
 
 _RUNTIME_DIR = os.path.join(os.path.dirname(os.path.dirname(
@@ -154,7 +155,8 @@ class ContinuousBatchingEngine:
                  max_len: int = 256, prefill_bucket: int = 64,
                  temperature: float = 0.0, eos_id: Optional[int] = None,
                  paged: bool = False, page_size: int = 64,
-                 n_pages: Optional[int] = None, seed: int = 0):
+                 n_pages: Optional[int] = None, seed: int = 0,
+                 prefill_chunk: Optional[int] = None):
         self.iw = iw
         self.n_slots = n_slots
         self.max_len = max_len
@@ -162,6 +164,16 @@ class ContinuousBatchingEngine:
         self.temperature = temperature
         self.eos_id = eos_id
         self.paged = paged
+        # chunked prefill: prompts longer than `prefill_chunk` are split
+        # across engine steps (one chunk per step) so a long admission
+        # can't stall the decode batch. Contiguous cache only.
+        if prefill_chunk is not None:
+            assert not paged, 'prefill_chunk requires the contiguous cache'
+            assert prefill_chunk % TILE == 0, \
+                f'prefill_chunk must be a multiple of {TILE}'
+        self.chunk = prefill_chunk
+        self._chunking: Dict[int, dict] = {}   # slot -> chunked-prefill state
+        self.last_step_prefill_tokens = 0      # jitter observability
         self._lib = native_scheduler_lib()
         self._sched = self._lib.sched_create(n_slots, max_len)
         if paged:
@@ -187,6 +199,8 @@ class ContinuousBatchingEngine:
             self.cache = KVCache.create(iw.cfg, n_slots, self.cap,
                                         dtype=iw.cfg.dtype)
             self._prefill_fn = jax.jit(prefill, donate_argnums=(2,))
+            self._chunk_fn = jax.jit(_chunk_prefill, static_argnums=(4,),
+                                     donate_argnums=(2,))
             self._decode_fn = functools.partial(
                 _decode_and_sample, temperature=temperature)
         self._prompts: Dict[int, List[int]] = {}
@@ -270,6 +284,19 @@ class ContinuousBatchingEngine:
                 c_pages=mini.c_pages, page_indices=pi,
                 length=self.cache.length.at[slot].set(s))
         else:
+            if self.chunk and s > self.chunk:
+                # chunked path: stash the prompt, process chunks one per
+                # engine step (first one now) — decode of other slots
+                # proceeds between chunks
+                pad_len = -(-s // TILE) * TILE
+                if pad_len > self.cap:
+                    self._grow(pad_len)
+                toks = np.zeros((1, pad_len), np.int32)
+                toks[0, :s] = cache_tokens
+                self._chunking[slot] = dict(
+                    rid=rid, tokens=toks, true_len=s, carry=carry, done=0)
+                self._advance_chunk(slot)
+                return
             if sb > self.cap:
                 self._grow(sb)
             mini = KVCache.create(self.iw.cfg, 1, sb,
@@ -282,6 +309,36 @@ class ContinuousBatchingEngine:
                                       self.iw.cfg.n_layers)
         self._rng, sub = jax.random.split(self._rng)
         tok = int(sample(logits[:, s - 1], sub,
+                         temperature=self.temperature)[0])
+        self._live[slot] = _Live(request_id=rid, tokens=carry + [tok],
+                                 last_token=tok, prompt_len=s,
+                                 carried=len(carry))
+        self._tokens[slot] = tok
+        self._lib.sched_prefill_done(self._sched, slot)
+        self._report_token(slot, tok)
+
+    def _advance_chunk(self, slot: int) -> None:
+        """Process the next prompt chunk for a slot in chunked prefill.
+        On the final chunk, sample the first token and join the decode
+        batch (sched_prefill_done)."""
+        st = self._chunking[slot]
+        total = st['tokens'].shape[1]
+        offset = st['done']
+        c = min(self.chunk, total - offset)
+        chunk = jnp.asarray(st['tokens'][:, offset:offset + c])
+        logits, self.cache = self._chunk_fn(
+            self.iw, chunk, self.cache, jnp.int32(slot), offset)
+        st['done'] = offset + c
+        self.last_step_prefill_tokens += c
+        if st['done'] < total:
+            return
+        del self._chunking[slot]
+        s, carry, rid = st['true_len'], st['carry'], st['rid']
+        # cache length was set to the padded total; correct to true length
+        self.cache = dataclasses.replace(
+            self.cache, length=self.cache.length.at[slot].set(s))
+        self._rng, sub = jax.random.split(self._rng)
+        tok = int(sample(logits[:, (s - 1) - offset], sub,
                          temperature=self.temperature)[0])
         self._live[slot] = _Live(request_id=rid, tokens=carry + [tok],
                                  last_token=tok, prompt_len=s,
@@ -368,11 +425,19 @@ class ContinuousBatchingEngine:
     # ------------------------------------------------------------------
     def step(self) -> int:
         """Admit + prefill + one decode step. Returns #tokens produced."""
+        self.last_step_prefill_tokens = 0
         slots = (ctypes.c_int32 * self.n_slots)()
         ids = (ctypes.c_int64 * self.n_slots)()
         n_adm = self._lib.sched_admit(self._sched, slots, ids)
+        admitted = set()
         for i in range(n_adm):
             self._prefill_slot(int(slots[i]), int(ids[i]))
+            admitted.add(int(slots[i]))
+        # advance in-flight chunked prefills by exactly one chunk each
+        # (slots admitted this step already got their first chunk)
+        for slot in list(self._chunking):
+            if slot not in admitted:
+                self._advance_chunk(slot)
         if self.paged:
             self._grow_pages()
 

@@ -322,6 +322,142 @@ def prefill(iw: InferenceWeights, tokens: jax.Array,
     return logits, cache
 
 
+def prefill_chunk(iw: InferenceWeights, tokens: jax.Array, cache: KVCache,
+                  slot: jax.Array, offset: int
+                  ) -> Tuple[jax.Array, KVCache]:
+    """Chunked prefill: process tokens [1, C] of one batch slot at positions
+    [offset, offset + C), attending over the slot's already-cached context
+    [0, offset) plus causal self-attention within the chunk. Appends the
+    chunk's K/V (+PQ codes) to the slot's cache tiles and returns the chunk
+    logits [1, C, V].
+
+    Continuous batching uses this to split long prompts across engine steps
+    so a single admission cannot stall the decode batch (vLLM-style chunked
+    prefill; no reference counterpart — the reference has no serving path,
+    SURVEY §0). Constraints: C and offset must be multiples of TILE so the
+    chunk lands on whole cache tiles; `offset` is static (one jit
+    specialization per chunk boundary — bounded by max_len / chunk).
+
+    Dense configs are bit-equivalent to one-shot prefill() up to bf16
+    accumulation order. Sparse configs run the per-row PQ top-k oracle over
+    [past + chunk] with top_k = (offset + C) // sparse_coeff — the same
+    selection contract as the non-tile-aligned prefill path; the tile
+    pattern may differ from the one-shot block-sparse kernel's.
+    """
+    cfg = iw.cfg
+    p = iw.params
+    b, c = tokens.shape
+    assert b == 1, 'prefill_chunk serves one slot at a time'
+    assert c % TILE == 0 and offset % TILE == 0, \
+        f'chunk ({c}) and offset ({offset}) must be multiples of {TILE}'
+    l = cfg.n_layers
+    nt = cache.tiles_per_layer(l)
+    nt_c = c // TILE
+    t0 = offset // TILE
+    pos = offset + jnp.arange(c)[None]                    # [1, C]
+    h_tok = p['embedding']['embedding'][tokens]
+    if cfg.arch == 'opt':
+        h_tok = h_tok + p['learned_pe']['embedding'][pos + PE_OFFSET]
+    x = h_tok.astype(cfg.dtype)
+
+    sparse = cfg.attention == ATTN_SPARSE_V2
+    scale = cfg.d_head ** -0.5
+    kv, g = cfg.kv_heads, cfg.kv_groups
+    s_tot = offset + c
+    k_sel = max(1, s_tot // cfg.sparse_coeff) if sparse else 0
+
+    # pre-read the slot's past tiles for every layer OUTSIDE the scan: the
+    # body then only WRITES to the cache carry, so XLA can alias the donated
+    # cache in place (an in-body read would force a defensive full copy)
+    t0s = max(t0, 1)
+
+    def slot_past(big):
+        row = jax.lax.dynamic_slice(
+            big, (slot, 0, 0, 0, 0), (1, kv, l * nt, big.shape[3], TILE))
+        per_layer = row.reshape(1, kv, l, nt, big.shape[3], TILE
+                                )[:, :, :, :t0s]
+        # token-major [L, 1, KV, t0s*T, w] -> clipped to the true offset
+        tok = per_layer.transpose(2, 0, 1, 3, 5, 4).reshape(
+            l, 1, kv, t0s * TILE, big.shape[3])
+        return tok[:, :, :, :offset]
+
+    past_k, past_v = slot_past(cache.k), slot_past(cache.v)
+    past_c = slot_past(cache.codes)
+
+    def layer(carry, inp):
+        x, kc, vc, cc = carry
+        bp, lix, k_past, v_past, c_past0 = inp
+        hn = _norm(cfg, bp['norm1'], x)
+        q = _dense(bp['mha']['q'], hn)
+        k = _dense(bp['mha']['k'], hn)
+        v = _dense(bp['mha']['v'], hn)
+        q = q.reshape(b, c, cfg.n_heads, cfg.d_head).transpose(0, 2, 1, 3)
+        kvh = lambda t: t.reshape(b, c, kv, cfg.d_head).transpose(0, 2, 1, 3)
+        k_new, v_new = kvh(k), kvh(v)                      # [1, KV, C, D]
+        if cfg.arch == 'llama':
+            q = _apply_rope_1(q, jnp.broadcast_to(pos, (b, c)),
+                              cfg.rope_base)
+            k_new = _apply_rope_1(k_new, jnp.broadcast_to(pos, (b, c)),
+                                  cfg.rope_base)
+        k_all = jnp.concatenate([k_past.astype(k_new.dtype), k_new], axis=2)
+        v_all = jnp.concatenate([v_past.astype(v_new.dtype), v_new], axis=2)
+        if g > 1:
+            k_full = jnp.repeat(k_all, g, axis=1)
+            v_full = jnp.repeat(v_all, g, axis=1)
+        else:
+            k_full, v_full = k_all, v_all
+        scores = jnp.einsum('bhid,bhjd->bhij', q, k_full,
+                            preferred_element_type=jnp.float32) * scale
+        row = offset + jnp.arange(c)[:, None]
+        col = jnp.arange(s_tot)[None, :]
+        causal = col <= row                               # [C, S_tot]
+        if sparse:
+            qz = q.reshape(cfg.n_heads, c, cfg.d_head)
+            codes_q = _encode_codes(cfg, bp['mha']['quantizer'], qz)
+            c_new = _encode_codes(
+                cfg, bp['mha']['quantizer'],
+                k_new.reshape(kv, c, cfg.d_head))          # [KV, C, n_sub]
+            codes_k = jnp.concatenate([c_past0[0], c_new], axis=1)  # [KV,S,n]
+            codes_k = jnp.repeat(codes_k, g, axis=0)       # [H, S, n_sub]
+            from spt_proto_tpu.ops.lookup import pq_match_scores
+            match = pq_match_scores(codes_q, codes_k, cfg.n_codewords)
+            match = jnp.where(causal[None], match, -1.0)   # [H, C, S_tot]
+            kth = jnp.sort(match, axis=-1)[..., -k_sel][..., None]
+            keep = causal[None] & (match >= jnp.maximum(kth, 0.0))
+            scores = jnp.clip(scores, -cfg.score_clamp, cfg.score_clamp)
+            scores = jnp.where(keep[None], scores, NEG_INF)
+        else:
+            c_new = jnp.zeros((kv, c, cc.shape[3]), jnp.int32)
+            scores = jnp.where(causal[None, None], scores, NEG_INF)
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        o = jnp.einsum('bhij,bhjd->bhid', probs, v_full)
+        o = o.transpose(0, 2, 1, 3).reshape(b, c, cfg.d_model)
+        x = x + _dense(bp['mha']['o'], o)
+        x = x + _ffn(cfg, bp['ffn'], _norm(cfg, bp['norm2'], x))
+
+        # append the chunk's tiles in place at [offset, offset + C)
+        def write(big, chunk):
+            tiles = chunk.reshape(1, kv, nt_c, TILE, chunk.shape[-1]
+                                  ).transpose(0, 1, 2, 4, 3)
+            return jax.lax.dynamic_update_slice(
+                big, tiles.astype(big.dtype), (slot, 0, lix * nt + t0, 0, 0))
+        kc = write(kc, k_new)
+        vc = write(vc, v_new)
+        cc = write(cc, c_new[None].astype(jnp.int32))
+        return (x, kc, vc, cc), None
+
+    (x, kc, vc, cc), _ = jax.lax.scan(
+        layer, (x, cache.k, cache.v, cache.codes),
+        (p['blocks'], jnp.arange(l), past_k, past_v, past_c))
+    new_len = jax.lax.dynamic_update_slice(
+        cache.length, jnp.array([s_tot], jnp.int32), (slot,))
+    cache = KVCache(k=kc, v=vc, codes=cc, length=new_len)
+    x = _norm(cfg, p['final_norm'], x)
+    logits = _dense(p['lm_head'], x)
+    return logits, cache
+
+
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------

