@@ -51,9 +51,59 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     """Multi-host init (TPU pods discover topology automatically).
 
     TPU-native replacement for Lightning's NCCL process-group bring-up.
+    Simulated-multi-host recipe (CPU, any machine — used by
+    tests/test_multihost.py): per process set
+    XLA_FLAGS=--xla_force_host_platform_device_count=K, select the 'gloo'
+    CPU collectives implementation, then call this with an explicit
+    coordinator_address and process_id.
     """
     kw = {}
     if coordinator_address is not None:
         kw = dict(coordinator_address=coordinator_address,
                   num_processes=num_processes, process_id=process_id)
     jax.distributed.initialize(**kw)
+
+
+def is_main_process() -> bool:
+    """True on the process that owns checkpointing/logging (process 0).
+    The reference's analog is Lightning's rank-zero gating."""
+    return jax.process_index() == 0
+
+
+def put_global_batch(batch, sharding):
+    """Place a batch with the given sharding(s).
+
+    Single controller: plain device_put of the global batch. Under
+    jax.distributed (process_count > 1): each process passes only its
+    PROCESS-LOCAL rows (global_batch_rows / process_count of them) and the
+    global array is assembled from every host's local shards without any
+    cross-host data movement (jax.make_array_from_process_local_data) —
+    the per-host data path DeepSpeed/Lightning provide via their samplers
+    (SURVEY §2.8)."""
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    put = lambda s: lambda x: jax.make_array_from_process_local_data(
+        s, np.asarray(x))
+    if isinstance(sharding, dict):
+        return {k: jax.tree.map(put(sharding[k]), v)
+                for k, v in batch.items()}
+    return jax.tree.map(put(sharding), batch)
+
+
+def fully_replicate(tree):
+    """Gather every cross-host-sharded leaf to full replication (so each
+    process can device_get it, e.g. for checkpointing). No-op on a single
+    controller."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    def rep(a):
+        if hasattr(a, 'sharding') and isinstance(a.sharding, NamedSharding) \
+                and not a.is_fully_replicated:
+            out = NamedSharding(a.sharding.mesh, P())
+            return jax.jit(lambda t: t, out_shardings=out)(a)
+        return a
+
+    return jax.tree.map(rep, tree)

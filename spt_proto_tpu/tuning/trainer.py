@@ -23,6 +23,11 @@ from spt_proto_tpu.tuning.partition import masked_optimizer
 AUX_LOSS_COEFF = 1e-2  # ref 4-sparse-tuning-0.py:84-91
 
 
+def _is_main() -> bool:
+    from spt_proto_tpu.parallel.mesh import is_main_process
+    return is_main_process()
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TrainState:
@@ -35,10 +40,18 @@ def save_train_state(path: str, state: TrainState) -> None:
     """Full training checkpoint (params + optimizer state + step) for
     crash-resume — the reference relied on Lightning ModelCheckpoint
     save_last (4-sparse-tuning-0.py:178-182). Serialized as the pytree's
-    leaf list (the treedef is reconstructed from a template at load)."""
+    leaf list (the treedef is reconstructed from a template at load).
+
+    Multi-host: every process participates in the gather of cross-host
+    shards (a collective), but only process 0 touches the filesystem.
+    """
     import os
 
     import numpy as np
+    from spt_proto_tpu.parallel.mesh import fully_replicate, is_main_process
+    state = fully_replicate(state)
+    if not is_main_process():
+        return
     os.makedirs(path, exist_ok=True)
     leaves = jax.tree.leaves(jax.device_get(state))
     np.savez(os.path.join(path, 'train_state.npz'),
@@ -256,12 +269,19 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
                checkpoint_every: int = 500,
                resume: bool = False,
                mesh=None, fsdp: bool = False) -> tuple[Any, list]:
-    """Single-host training loop. With `mesh`, params/batches are placed
-    with the canonical shardings and the step is jitted over the mesh.
+    """Training loop. With `mesh`, params/batches are placed with the
+    canonical shardings and the step is jitted over the mesh.
     freeze_base=False enables full fine-tuning (no trainable masking).
     `fsdp=True` (requires mesh) additionally shards params + optimizer
     state across the 'data' axis — the reference's DeepSpeed ZeRO-3 mode
     (script/4-sparse-tuning-1.py:172-175) expressed as sharding specs.
+
+    Multi-host: runs unmodified under jax.distributed. Each process feeds
+    its PROCESS-LOCAL batch rows (global batch = concat over processes in
+    process order; put_global_batch assembles the global array), logging
+    and checkpoint writes are process-0-gated, and the checkpoint save
+    gathers cross-host shards collectively. See tests/test_multihost.py
+    for the simulated 2-process recipe.
 
     pq_train_every: arm the PQ codebook aux loss every K steps (the
     reference's `trigger` buffer mechanism, sparse/attention.py:98-104 —
@@ -299,13 +319,14 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
         if max_steps is not None and i >= max_steps:
             break
         if mesh is not None:
-            batch = jax.device_put(batch, batch_sharding(mesh))
+            from spt_proto_tpu.parallel.mesh import put_global_batch
+            batch = put_global_batch(batch, batch_sharding(mesh))
         fn = step_pq if i % pq_train_every == 0 else step_fast
         state, metrics = fn(state, batch)
         if i % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             history.append((i, m))
-            if log_fn:
+            if log_fn and _is_main():
                 log_fn(i, m)
         if checkpoint_dir is not None and (i + 1) % checkpoint_every == 0:
             save_train_state(checkpoint_dir, state)
