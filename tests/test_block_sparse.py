@@ -148,3 +148,49 @@ def test_dma_kernel_matches_ref():
     out = _fwd_dma(q, k, v, sel, block_q=256, block_k=128, scale=scale,
                    clamp=10.0, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_reverse_flat():
+    from spt_proto_tpu.ops.pallas.block_sparse_attention import _reverse_flat
+    sel = jnp.asarray([[[0, -1], [0, 1], [2, -1]]], jnp.int32)  # nq=3
+    rkt, rqt = map(np.asarray, _reverse_flat(sel, 4))
+    assert rkt.shape == rqt.shape == (1, 3 * 2 + 4)
+    # sorted by k-tile; each k-tile has its dummy (qt=-1); invalid sel
+    # entries extend the final block with kt = n_kt-1 stored
+    assert list(rkt[0]) == [0, 0, 0, 1, 1, 2, 2, 3, 3, 3]
+    hits = [(k, q) for k, q in zip(rkt[0], rqt[0]) if q >= 0]
+    assert hits == [(0, 0), (0, 1), (1, 1), (2, 2)]
+    # kt values are monotone non-decreasing (block revisit contract)
+    assert (np.diff(rkt[0]) >= 0).all()
+
+
+@pytest.mark.parametrize('bq,mult', [(256, 1.0), (128, 4.0)])
+def test_bwd_kernels_match_ref(bq, mult):
+    """Dedicated Pallas backward (dq + dk/dv kernels) vs the jnp
+    tile-gather vjp — rectangular q-tiles and clamp-saturated logits
+    (mult=4 drives >50% of logits past the +-10 clamp, exercising the
+    clip gradient mask). The reference's bar is hand-written backwards
+    for every kernel (extension/softmax.cu:50-81, kernels/sddmm.py)."""
+    b, s, d = 2, 512, 64
+    rng = np.random.RandomState(11)
+    q = jnp.asarray(rng.randn(b, s, d) * mult, jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, d) * mult, jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, d), jnp.float32)
+    codes = jnp.asarray(rng.randint(0, 16, (b, s, 8)), jnp.int32)
+    ts = pq_tile_scores(codes, codes, n_codewords=16, block_q=bq,
+                        block_k=128)
+    sel = select_tiles(ts, 3, block_ratio=bq // 128)
+    scale = d ** -0.5
+
+    def loss(impl):
+        def f(q, k, v):
+            return jnp.sum(jnp.sin(block_sparse_attention(
+                q, k, v, sel, block_q=bq, block_k=128, scale=scale,
+                bwd_impl=impl)))
+        return f
+
+    gk = jax.grad(loss('kernel'), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss('ref'), argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip(('dq', 'dk', 'dv'), gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-3, err_msg=name)
