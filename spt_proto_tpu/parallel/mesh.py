@@ -16,29 +16,33 @@ from jax.sharding import Mesh
 DATA_AXIS = 'data'
 MODEL_AXIS = 'model'
 SP_AXIS = 'sp'    # context/sequence parallelism (ring attention)
+PIPE_AXIS = 'pipe'  # pipeline stages (parallel/pipeline.py)
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: Optional[int] = None,
-              n_sp: int = 1,
+              n_sp: int = 1, n_pipe: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a ('data', 'model', 'sp') mesh over the available devices.
+    """Build a ('data', 'model', 'sp', 'pipe') mesh over the devices.
 
     Defaults: all devices on the model axis if n_model covers them, else
     fill data with the remainder. `n_sp` > 1 enables context parallelism
-    (sequence sharded over 'sp'; see ops/ring_attention.py).
+    (sequence sharded over 'sp'; see ops/ring_attention.py); `n_pipe` > 1
+    enables pipeline parallelism (stacked-layer axis sharded over 'pipe';
+    see parallel/pipeline.py).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    n_rest = n // n_sp
+    n_rest = n // (n_sp * n_pipe)
     if n_model is None and n_data is None:
         n_data, n_model = 1, n_rest
     elif n_model is None:
         n_model = n_rest // n_data
     elif n_data is None:
         n_data = n_rest // n_model
-    assert n_data * n_model * n_sp == n, (n_data, n_model, n_sp, n)
-    arr = np.asarray(devices).reshape(n_data, n_model, n_sp)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, SP_AXIS))
+    assert n_data * n_model * n_sp * n_pipe == n, \
+        (n_data, n_model, n_sp, n_pipe, n)
+    arr = np.asarray(devices).reshape(n_data, n_model, n_sp, n_pipe)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, SP_AXIS, PIPE_AXIS))
 
 
 def single_device_mesh() -> Mesh:

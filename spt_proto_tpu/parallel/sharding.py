@@ -80,7 +80,7 @@ _TOP_RULES_FSDP = [
 ]
 
 
-def spec_for_path(path: str, fsdp: bool = False):
+def spec_for_path(path: str, fsdp: bool = False, pp: bool = False):
     for pat, spec in (_TOP_RULES_FSDP if fsdp else _TOP_RULES):
         if re.search(pat, path):
             return spec
@@ -88,17 +88,22 @@ def spec_for_path(path: str, fsdp: bool = False):
         for pat, spec in _BLOCK_RULES:
             if re.search(pat, path):
                 # leading stacked-layer axis; under fsdp it is the ZeRO
-                # shard axis (each DP rank stores n_layers/n_data layers)
-                return P('data' if fsdp else None, *spec)
+                # shard axis (each DP rank stores n_layers/n_data layers);
+                # under pp it is the pipeline-stage axis (each stage holds
+                # n_layers/n_pipe layers, parallel/pipeline.py)
+                lead = 'pipe' if pp else ('data' if fsdp else None)
+                return P(lead, *spec)
     return None  # replicate
 
 
-def param_specs(params: Any, fsdp: bool = False) -> Any:
+def param_specs(params: Any, fsdp: bool = False, pp: bool = False) -> Any:
     """PartitionSpec pytree matching the param tree."""
+    assert not (fsdp and pp), \
+        'fsdp and pp both shard the stacked-layer axis — pick one'
     flat = flatten(params)
     specs = {}
     for path, leaf in flat.items():
-        spec = spec_for_path(path, fsdp=fsdp)
+        spec = spec_for_path(path, fsdp=fsdp, pp=pp)
         if spec is None:
             spec = P()
         # guard: spec rank must not exceed leaf rank
@@ -130,16 +135,19 @@ def _fit_spec(mesh: Mesh, spec: P, shape) -> P:
     return P(*out)
 
 
-def param_shardings(mesh: Mesh, params: Any, fsdp: bool = False) -> Any:
-    specs = param_specs(params, fsdp=fsdp)
+def param_shardings(mesh: Mesh, params: Any, fsdp: bool = False,
+                    pp: bool = False) -> Any:
+    specs = param_specs(params, fsdp=fsdp, pp=pp)
     return jax.tree.map(
         lambda s, leaf: NamedSharding(mesh, _fit_spec(mesh, s, leaf.shape)),
         specs, params, is_leaf=lambda x: isinstance(x, P))
 
 
-def shard_params(mesh: Mesh, params: Any, fsdp: bool = False) -> Any:
+def shard_params(mesh: Mesh, params: Any, fsdp: bool = False,
+                 pp: bool = False) -> Any:
     """Place params onto the mesh with the canonical shardings."""
-    return jax.device_put(params, param_shardings(mesh, params, fsdp=fsdp))
+    return jax.device_put(params,
+                          param_shardings(mesh, params, fsdp=fsdp, pp=pp))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

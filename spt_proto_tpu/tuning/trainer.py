@@ -247,6 +247,94 @@ def make_cp_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
     return train_step
 
 
+def make_pp_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
+                       mesh, *, n_micro: int, train_quantizer: bool = True,
+                       aux_coeff: float = AUX_LOSS_COEFF,
+                       trainable: Optional[Any] = None):
+    """Pipeline-parallel training step (GPipe schedule over the 'pipe'
+    mesh axis; parallel/pipeline.py).
+
+    The stacked-layer params are sharded P('pipe', ...) — each stage holds
+    n_layers/n_pipe layers — and the batch flows through the pipeline as
+    `n_micro` microbatches (lax.ppermute between stages). Embedding / final
+    norm / LM head run outside the pipelined region under plain pjit
+    (replicated over 'pipe', sharded over 'data'). Capability addition over
+    the reference, which has no pipeline mode (SURVEY §2.8).
+
+    Composes with DP ('data'); asserts TP off inside the pipe region (pjit
+    cannot auto-insert TP collectives through shard_map). Requires
+    cfg.n_layers % n_pipe == 0 and local batch % n_micro == 0. Use
+    shard_params(mesh, params, pp=True) to place the params.
+    """
+    assert mesh.shape.get('model', 1) == 1, \
+        'PP composes with DP; TP inside the pipeline needs manual ' \
+        'collectives — use a (data, pipe) mesh'
+    from flax import linen as nn
+
+    from spt_proto_tpu.layers.common import LoRAEmbed
+    from spt_proto_tpu.layers.transformer import TransformerBlock, make_norm
+    from spt_proto_tpu.models.decoder import PE_OFFSET
+    from spt_proto_tpu.parallel.pipeline import pipeline_blocks
+
+    block = TransformerBlock(cfg=cfg, deterministic=True,
+                             train_quantizer=train_quantizer)
+    embed = LoRAEmbed(cfg.vocab_size, cfg.d_model, d_lora=cfg.d_lora,
+                      dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+    pe = LoRAEmbed(cfg.max_length + PE_OFFSET, cfg.d_model,
+                   d_lora=cfg.d_lora, dtype=cfg.dtype,
+                   param_dtype=cfg.param_dtype)
+    head = nn.Dense(cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype)
+    final_norm = make_norm(cfg, 'final_norm')
+
+    def block_apply(layer_params, x):
+        return block.apply({'params': layer_params}, x)
+
+    def _forward(params, batch):
+        tokens = batch['inputs']
+        h = embed.apply({'params': params['embedding']}, tokens)
+        if cfg.arch == 'opt':
+            b, s = tokens.shape
+            pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+            h = h + pe.apply({'params': params['learned_pe']},
+                             pos + PE_OFFSET)
+        h, aux_vec = pipeline_blocks(block_apply, params['blocks'], h,
+                                     mesh=mesh, n_micro=n_micro,
+                                     remat=cfg.remat)
+        h = final_norm.apply({'params': params['final_norm']}, h)
+        logits = head.apply({'params': params['lm_head']}, h)
+        ce = lm_loss(logits, batch['targets'], batch.get('mask'))
+        pq = jnp.mean(aux_vec)
+        return ce + aux_coeff * pq, {'ce': ce, 'pq_loss': pq}
+
+    flat_mask = None
+    if trainable is not None:
+        from spt_proto_tpu.utils.tree import flatten, unflatten
+        flat_mask = flatten(trainable)
+
+    def train_step(state: TrainState, batch):
+        if flat_mask is None:
+            (loss, metrics), grads = jax.value_and_grad(
+                _forward, has_aux=True)(state.params, batch)
+        else:
+            from spt_proto_tpu.utils.tree import flatten, unflatten
+            f = flatten(state.params)
+            train_flat = {k: v for k, v in f.items() if flat_mask[k]}
+            frozen_flat = {k: v for k, v in f.items() if not flat_mask[k]}
+            (loss, metrics), g_train = jax.value_and_grad(
+                lambda t: _forward(unflatten({**t, **frozen_flat}), batch),
+                has_aux=True)(train_flat)
+            zeros = {k: jnp.zeros_like(v) for k, v in frozen_flat.items()}
+            grads = unflatten({**g_train, **zeros})
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics, loss=loss,
+                       grad_norm=optax.global_norm(grads))
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
 def make_eval_step(cfg: ModelConfig):
     model = DecoderLM(cfg=cfg, deterministic=True, train_quantizer=False)
 
