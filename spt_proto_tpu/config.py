@@ -56,7 +56,10 @@ class ModelConfig:
     dtype: Any = jnp.float32         # activation/compute dtype
     param_dtype: Any = jnp.float32
     attn_impl: str = 'ref'           # 'ref' (jnp) | 'pallas'
-    ffn_impl: str = 'masked'         # 'masked' | 'gather' | 'pallas'
+    # 'masked' (exact oracle) | 'gather' (capacity) | 'gmm' (grouped
+    # matmul) | 'ep' (expert-parallel all_to_all dispatch — requires an
+    # active ops.routed_ffn_ep.ep_mesh(...) context at trace time)
+    ffn_impl: str = 'masked'
     remat: bool = False              # rematerialize blocks (training memory)
     # --- context (sequence) parallelism ------------------------------------
     # When True the model runs INSIDE a shard_map whose `cp_axis` shards the

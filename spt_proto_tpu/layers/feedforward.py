@@ -150,7 +150,24 @@ class RoutedFeedforward(nn.Module):
         cast = lambda t: t.astype(cfg.dtype)
         top_k = cfg.ffn_active_blocks
         use_gmm = cfg.ffn_impl == 'gmm' and xf.shape[0] >= 128
-        if cfg.d_lora:
+        if cfg.ffn_impl == 'ep':
+            # expert parallelism: blocks + tokens sharded over one mesh
+            # axis, all_to_all token exchange (ops/routed_ffn_ep.py)
+            from spt_proto_tpu.ops import routed_ffn_ep as eps
+            mesh, axis = eps.current_ep()
+            if cfg.d_lora:
+                y = eps.routed_ffn_lora_ep(
+                    xf, probs, top_k, cast(v['w1']), cast(v['b1']),
+                    cast(v['w2']), cast(p2['bias']),
+                    cast(v['lora_left1']), cast(v['lora_right1']),
+                    cast(v['lora_left2']), cast(v['lora_right2']), act,
+                    mesh=mesh, axis=axis)
+            else:
+                y = eps.routed_ffn_ep(
+                    xf, probs, top_k, cast(v['w1']), cast(v['b1']),
+                    cast(v['w2']), cast(p2['bias']), act,
+                    mesh=mesh, axis=axis)
+        elif cfg.d_lora:
             fn = rops.routed_ffn_lora_gmm if use_gmm else rops.routed_ffn_lora
             y = fn(xf, probs, top_k, cast(v['w1']), cast(v['b1']),
                    cast(v['w2']), cast(p2['bias']),
@@ -202,7 +219,25 @@ class RoutedGatedFeedforward(nn.Module):
         w_gate = cast(pg['kernel'].reshape(d, n, bs).transpose(1, 0, 2))
         w_side = cast(ps['kernel'].reshape(d, n, bs).transpose(1, 0, 2))
         w_down = cast(pd['kernel'].reshape(n, bs, d))
-        if cfg.d_lora:
+        if cfg.ffn_impl == 'ep':
+            from spt_proto_tpu.ops import routed_ffn_ep as eps
+            mesh, axis = eps.current_ep()
+            if cfg.d_lora:
+                r = cfg.d_lora
+                y = eps.routed_ffn_gated_lora_ep(
+                    xf, probs, cfg.ffn_top_k or max(1, n // 2),
+                    w_gate, w_side, w_down,
+                    cast(pg['lora_left']),
+                    cast(pg['lora_right'].reshape(n, bs, r)),
+                    cast(ps['lora_left']),
+                    cast(ps['lora_right'].reshape(n, bs, r)),
+                    cast(pd['lora_left'].reshape(n, bs, r)),
+                    cast(pd['lora_right']), act, mesh=mesh, axis=axis)
+            else:
+                y = eps.routed_ffn_gated_ep(
+                    xf, probs, cfg.ffn_top_k or max(1, n // 4),
+                    w_gate, w_side, w_down, act, mesh=mesh, axis=axis)
+        elif cfg.d_lora:
             r = cfg.d_lora
             y = rops.routed_ffn_gated_lora(
                 xf, probs, cfg.ffn_top_k or max(1, n // 2),
