@@ -50,22 +50,35 @@ class KVCache:
     the tiles its tables select and appends the new token's column in
     place. smax = NT * TILE; max_len rounds up to a tile multiple.
     """
-    k: jax.Array       # [B, KV, L*NT, D, TILE]
-    v: jax.Array       # [B, KV, L*NT, D, TILE]
+    k: jax.Array       # [B, KV, L*NT, D, TILE] (int8 when quantized)
+    v: jax.Array       # [B, KV, L*NT, D, TILE] (int8 when quantized)
     codes: jax.Array   # [B, KV, L*NT, n_sub, TILE] int32 (width 1 if dense)
     length: jax.Array  # [B] int32 — tokens currently in each slot
+    # int8 mode (ROADMAP 8): per-TOKEN dequant scales; None = bf16 cache
+    k_scale: Optional[jax.Array] = None   # [B, KV, L*NT, 1, TILE] f32
+    v_scale: Optional[jax.Array] = None   # [B, KV, L*NT, 1, TILE] f32
 
     @staticmethod
     def create(cfg: ModelConfig, batch: int, max_len: int,
-               dtype=jnp.bfloat16) -> 'KVCache':
+               dtype=jnp.bfloat16, quantized: bool = False) -> 'KVCache':
         l, h, d = cfg.n_layers, cfg.kv_heads, cfg.d_head
         n_sub = cfg.n_subspaces if cfg.attention == ATTN_SPARSE_V2 else 1
         nt = -(-max_len // TILE)
+        kv_dtype = jnp.int8 if quantized else dtype
+        scales = dict()
+        if quantized:
+            scales = dict(
+                k_scale=jnp.zeros((batch, h, l * nt, 1, TILE), jnp.float32),
+                v_scale=jnp.zeros((batch, h, l * nt, 1, TILE), jnp.float32))
         return KVCache(
-            k=jnp.zeros((batch, h, l * nt, d, TILE), dtype),
-            v=jnp.zeros((batch, h, l * nt, d, TILE), dtype),
+            k=jnp.zeros((batch, h, l * nt, d, TILE), kv_dtype),
+            v=jnp.zeros((batch, h, l * nt, d, TILE), kv_dtype),
             codes=jnp.zeros((batch, h, l * nt, n_sub, TILE), jnp.int32),
-            length=jnp.zeros((batch,), jnp.int32))
+            length=jnp.zeros((batch,), jnp.int32), **scales)
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     def tiles_per_layer(self, n_layers: int) -> int:
         return self.k.shape[2] // n_layers
@@ -191,6 +204,19 @@ def _encode_codes(cfg: ModelConfig, quantizer: dict, x: jax.Array
     return pq_ops.pq_encode(x, quantizer['codebook'], cfg.pq_metric)
 
 
+def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-token int8: x [..., D] -> (int8 [..., D], scale [...]).
+
+    One f32 scale per token per head (max-abs / 127) — the finest
+    granularity that never needs requantizing previously written tokens
+    when a new outlier arrives (per-tile scales would)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, s
+
+
 # ---------------------------------------------------------------------------
 # prefill
 # ---------------------------------------------------------------------------
@@ -312,11 +338,18 @@ def prefill(iw: InferenceWeights, tokens: jax.Array,
         return view.reshape(big.shape)
 
     codes = codes.astype(jnp.int32)[..., :cache.codes.shape[3]]
+    scales = dict()
+    if cache.quantized:
+        ks, ksc = _quantize_kv(ks)         # [L,B,KV,S,D] -> + [L,B,KV,S]
+        vs, vsc = _quantize_kv(vs)
+        scales = dict(
+            k_scale=splice(cache.k_scale, to_tiles(ksc[..., None], 1)),
+            v_scale=splice(cache.v_scale, to_tiles(vsc[..., None], 1)))
     cache = KVCache(
         k=splice(cache.k, to_tiles(ks, cfg.d_head)),
         v=splice(cache.v, to_tiles(vs, cfg.d_head)),
         codes=splice(cache.codes, to_tiles(codes, cache.codes.shape[3])),
-        length=jnp.full_like(cache.length, s))
+        length=jnp.full_like(cache.length, s), **scales)
     x = _norm(cfg, p['final_norm'], x)
     logits = _dense(p['lm_head'], x)
     return logits, cache
@@ -348,6 +381,9 @@ def prefill_chunk(iw: InferenceWeights, tokens: jax.Array, cache: KVCache,
     p = iw.params
     b, c = tokens.shape
     assert b == 1, 'prefill_chunk serves one slot at a time'
+    assert not cache.quantized, \
+        'chunked prefill over the int8 cache is not wired yet — use ' \
+        'quantized_kv with whole-prompt prefill (engine.generate)'
     assert c % TILE == 0 and offset % TILE == 0, \
         f'chunk ({c}) and offset ({offset}) must be multiples of {TILE}'
     l = cfg.n_layers
@@ -483,9 +519,10 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
     it has no GQA at all; this is the TPU-native trade.
     """
     from spt_proto_tpu.ops.pallas.decode_attention import (
-        decode_attention_rows)
+        decode_attention_rows, decode_attention_rows_q)
     cfg = iw.cfg
     p = iw.params
+    quantized = cache.quantized
     b = tokens.shape[0]
     l = cfg.n_layers
     nt = cache.tiles_per_layer(l)
@@ -506,7 +543,7 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
         nsel = min(nt, max(1, nt // cfg.sparse_coeff) + 1)
 
     def layer(carry, inp):
-        x, kc, vc, cc = carry
+        x, kc, vc, cc, ksc, vsc = carry
         bp, lix = inp
         hn = _norm(cfg, bp['norm1'], x)
         q = _dense(bp['mha']['q'], hn)
@@ -560,19 +597,30 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
             tps = tps_d
             clamp = 0.0
         tables = jnp.where(tables < 0, -1, tables + lix * nt)
-        o, kc, vc, cc = decode_attention_rows(
-            q4, kc, vc, cc, tables.astype(jnp.int32), n_tiles, pos,
-            k_new, v_new, c_new.astype(jnp.int32), base,
-            ps=TILE, tps=tps, scale=scale, clamp=clamp)
+        if quantized:
+            k8, ks_new = _quantize_kv(k_new)          # [B,KV,D] + [B,KV]
+            v8, vs_new = _quantize_kv(v_new)
+            o, kc, vc, cc, ksc, vsc = decode_attention_rows_q(
+                q4, kc, vc, cc, ksc, vsc, tables.astype(jnp.int32),
+                n_tiles, pos, k8, v8, c_new.astype(jnp.int32),
+                ks_new, vs_new, base,
+                ps=TILE, tps=tps, scale=scale, clamp=clamp, nt_layer=nt)
+        else:
+            o, kc, vc, cc = decode_attention_rows(
+                q4, kc, vc, cc, tables.astype(jnp.int32), n_tiles, pos,
+                k_new, v_new, c_new.astype(jnp.int32), base,
+                ps=TILE, tps=tps, scale=scale, clamp=clamp)
         o = o.reshape(b, 1, cfg.d_model)
         x = x + _dense(bp['mha']['o'], o)
         x = x + _ffn(cfg, bp['ffn'], _norm(cfg, bp['norm2'], x))
-        return (x, kc, vc, cc), None
+        return (x, kc, vc, cc, ksc, vsc), None
 
-    (x, kc, vc, cc), _ = jax.lax.scan(
-        layer, (x, cache.k, cache.v, cache.codes),
+    (x, kc, vc, cc, ksc, vsc), _ = jax.lax.scan(
+        layer, (x, cache.k, cache.v, cache.codes,
+                cache.k_scale, cache.v_scale),
         (p['blocks'], jnp.arange(l)))
-    cache = KVCache(k=kc, v=vc, codes=cc, length=cache.length + 1)
+    cache = KVCache(k=kc, v=vc, codes=cc, length=cache.length + 1,
+                    k_scale=ksc, v_scale=vsc)
     x = _norm(cfg, p['final_norm'], x)
     logits = _dense(p['lm_head'], x[:, 0])
     return logits, cache
@@ -605,8 +653,12 @@ def grow_cache(cache: KVCache, new_len: int, n_layers: int) -> KVCache:
         return jnp.pad(view, w).reshape(b, h, n_layers * nt_new,
                                         *big.shape[3:])
 
+    scales = dict()
+    if cache.quantized:
+        scales = dict(k_scale=grow(cache.k_scale),
+                      v_scale=grow(cache.v_scale))
     return KVCache(k=grow(cache.k), v=grow(cache.v),
-                   codes=grow(cache.codes), length=cache.length)
+                   codes=grow(cache.codes), length=cache.length, **scales)
 
 
 # ---------------------------------------------------------------------------
@@ -637,8 +689,13 @@ def generate(iw: InferenceWeights, prompts: jax.Array, max_new_tokens: int,
              *, max_len: Optional[int] = None, temperature: float = 0.0,
              rng: Optional[jax.Array] = None,
              eos_id: Optional[int] = None,
-             lengths: Optional[jax.Array] = None) -> jax.Array:
+             lengths: Optional[jax.Array] = None,
+             quantized_kv: bool = False) -> jax.Array:
     """Batch generate. prompts [B, S_prompt] -> [B, S_prompt + max_new].
+
+    quantized_kv=True keeps the KV cache in int8 with per-token scales
+    (half the decode HBM traffic; ~1% logit error — see
+    tests/test_quantized_kv.py).
 
     Ragged batches: right-pad the prompts and pass the true per-row
     `lengths [B]`. The cache length is then set per row (so decode positions
@@ -652,7 +709,8 @@ def generate(iw: InferenceWeights, prompts: jax.Array, max_new_tokens: int,
     # start at the smallest bucket that fits the prompt; grow as decoding
     # proceeds so per-step cost tracks the live context, not the limit
     cap = min(max(s0, round_up(s0 + 1, DECODE_BUCKET)), max(limit, s0))
-    cache = KVCache.create(iw.cfg, b, cap, dtype=iw.cfg.dtype)
+    cache = KVCache.create(iw.cfg, b, cap, dtype=iw.cfg.dtype,
+                           quantized=quantized_kv)
     prefill_fn = jax.jit(prefill, donate_argnums=(2,))
     step_fn = jax.jit(decode_step, donate_argnums=(2,))
     logits, cache = prefill_fn(iw, prompts, cache)

@@ -511,6 +511,347 @@ def decode_attention_rows(q, k_cache, v_cache, c_cache, tables, n_tiles,
     return o, k2, v2, c2
 
 
+# ---------------------------------------------------------------------------
+# int8-quantized variant of the tile-major kernel (ROADMAP 8)
+# ---------------------------------------------------------------------------
+#
+# K/V tiles are int8 with a PER-TOKEN f32 scale kept in parallel scale
+# pools [B, KV, NT, 1, ps] (one scale per lane/token per head — the
+# finest granularity that never needs requantization on append, unlike
+# per-tile scales which would have to rescale frozen int8 data when a new
+# outlier token lands in the write tile). HBM traffic for the decode
+# bottleneck (K/V reads) halves vs bf16: 16 KB + 0.5 KB per tile vs
+# 32 KB. Dequantization folds into the existing math for free:
+#     scores = (q @ k8) * kscale_lane        (post-matmul row scale)
+#     pv     = (p * vscale_lane) @ v8        (fold into the probs)
+# so the MXU still sees one matmul per sub-tile and the softmax
+# statistics (m, l) are computed on true scores/probs.
+
+def _rows_kernel_q(tables, n_tiles, pos, tile_base,                 # SMEM
+                   q_ref, k_ref, v_ref, c_ref, ksc_ref, vsc_ref,
+                   kn_ref, vn_ref, cn_ref, kscn_ref, vscn_ref,
+                   tabv_ref,
+                   o_ref, k_out, v_out, c_out, ksc_out, vsc_out,
+                   ks_all, vs_all, kslab, vslab, kss_line, vss_line, c_scr,
+                   sem_l, sem_wk, sem_wv, sem_c, sem_s,
+                   *, ps: int, tps: int, t_max: int, nt_layer: int,
+                   scale: float, clamp: float, write_codes: bool, kv: int):
+    """Quantized twin of _rows_kernel.
+
+    The per-token scales do NOT ride per-tile DMAs (measured: doubling
+    the DMA issue count erased the bandwidth win — the per-tile-visit
+    fixed cost is the decode floor). Instead the WHOLE layer-slab of
+    scales for this slot ([1, KV, nt_layer, 1, ps], a few tens of KB)
+    arrives in ONE strided copy per operand, the table's lanes are packed
+    into [tps, ltot] line buffers with unrolled VMEM moves (cheap VPU
+    work), and the merged write-tile scale goes back with one strided
+    write per operand. Net extra DMAs per program: 2 reads + 2 writes."""
+    b = pl.program_id(0)
+    g = q_ref.shape[2]
+    d = q_ref.shape[3]
+    n_t = n_tiles[b]
+    p_b = pos[b]
+    base = tile_base[b]
+    w_tile = base + p_b // ps
+    w_col = jax.lax.rem(p_b, ps)
+    hspan = t_max * ps
+    ltot = kv * hspan
+
+    # ---- scale slabs: one strided DMA each (kv rows x nt_layer tiles)
+    rks = pltpu.make_async_copy(
+        ksc_ref.at[pl.ds(b, 1), :, pl.ds(base, nt_layer)], kslab, sem_s)
+    rvs = pltpu.make_async_copy(
+        vsc_ref.at[pl.ds(b, 1), :, pl.ds(base, nt_layer)], vslab, sem_s)
+    rks.start()
+    rvs.start()
+
+    copies = []
+    for h in range(kv):
+        for t in range(t_max):
+            tid = jnp.maximum(tables[b, h, t], 0)
+            lane0 = (h * t_max + t) * ps
+            ck = pltpu.make_async_copy(
+                k_ref.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, tps)],
+                ks_all.at[:, :, :, :, pl.ds(lane0, ps)], sem_l)
+            cv = pltpu.make_async_copy(
+                v_ref.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, tps)],
+                vs_all.at[:, :, :, :, pl.ds(lane0, ps)], sem_l)
+            ck.start()
+            cv.start()
+            copies.append((ck, cv))
+
+    if write_codes:
+        rc = pltpu.make_async_copy(
+            c_ref.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], c_scr, sem_c)
+        rc.start()
+        rc.wait()
+        ccols = jax.lax.broadcasted_iota(jnp.int32, c_scr.shape, 4)
+        cn = cn_ref[...][:, :, None]
+        c_scr[...] = jnp.where(ccols == w_col, cn, c_scr[...])
+        wc = pltpu.make_async_copy(
+            c_scr, c_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_c)
+        wc.start()
+
+    rks.wait()
+    rvs.wait()
+    # merge the new token's scales into the slabs, write the write-tile
+    # scale rows back (one strided copy per operand)
+    rel_w = w_tile - base
+    slab_t = jax.lax.broadcasted_iota(jnp.int32, kslab.shape, 2)
+    slab_l = jax.lax.broadcasted_iota(jnp.int32, kslab.shape, 4)
+    sel_s = (slab_t == rel_w) & (slab_l == w_col)
+    kslab[...] = jnp.where(sel_s, kscn_ref[...][:, :, :, :, None],
+                           kslab[...])
+    vslab[...] = jnp.where(sel_s, vscn_ref[...][:, :, :, :, None],
+                           vslab[...])
+    wks = pltpu.make_async_copy(
+        kslab.at[:, :, pl.ds(rel_w, 1)],
+        ksc_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_s)
+    wvs = pltpu.make_async_copy(
+        vslab.at[:, :, pl.ds(rel_w, 1)],
+        vsc_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_s)
+    wks.start()
+    wvs.start()
+
+    # ---- pack the table's scale lanes into [tps, ltot] line buffers
+    # (unrolled VMEM moves — no DMAs)
+    for h in range(kv):
+        for t in range(t_max):
+            rel = jnp.clip(tables[b, h, t] - base, 0, nt_layer - tps)
+            lane0 = (h * t_max + t) * ps
+            for u in range(tps):
+                kss_line[pl.ds(u, 1), pl.ds(lane0, ps)] = \
+                    kslab[0, h, pl.ds(rel + u, 1), 0]
+                vss_line[pl.ds(u, 1), pl.ds(lane0, ps)] = \
+                    vslab[0, h, pl.ds(rel + u, 1), 0]
+
+    for ck, cv in copies:
+        ck.wait()
+        cv.wait()
+
+    # merge the new token's int8 K/V columns, write the write tile back
+    u_w = jax.lax.rem(w_tile, tps)
+    sub_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tps, d, ps), 2)
+    lane_i5 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tps, d, ps), 4)
+    for h in range(kv):
+        off = (h * t_max + n_t - 1) * ps
+        kn = kn_ref[0, pl.ds(h, 1)][0]
+        vn = vn_ref[0, pl.ds(h, 1)][0]
+        sel = (sub_i == u_w) & (lane_i5 == w_col)
+        ks_all[:, :, :, :, pl.ds(off, ps)] = jnp.where(
+            sel, kn, ks_all[:, :, :, :, pl.ds(off, ps)])
+        vs_all[:, :, :, :, pl.ds(off, ps)] = jnp.where(
+            sel, vn, vs_all[:, :, :, :, pl.ds(off, ps)])
+        # (scale line buffers already carry the merged write-column scale:
+        # they were packed from the slab AFTER the merge)
+        wk = pltpu.make_async_copy(
+            ks_all.at[:, :, pl.ds(u_w, 1), :, pl.ds(off, ps)],
+            k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+            sem_wk.at[h])
+        wv = pltpu.make_async_copy(
+            vs_all.at[:, :, pl.ds(u_w, 1), :, pl.ds(off, ps)],
+            v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+            sem_wv.at[h])
+        wk.start()
+        wv.start()
+
+    q_all = q_ref[0].reshape(kv * g, d).astype(jnp.float32)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (kv * g, ltot), 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (kv * g, ltot), 0)
+    own = (lane_i // hspan) == (row_i // g)
+    col_in_tile = jax.lax.rem(lane_i, ps)
+    tv = tabv_ref[0]
+    tid_lane = jnp.broadcast_to(tv[:, :, None],
+                                (kv, t_max, ps)).reshape(1, ltot)
+    e_lane = lane_i[:1] // ps
+    t_lane = jax.lax.rem(e_lane, t_max)
+    scs, oks = [], []
+    for u in range(tps):
+        sc = jax.lax.dot_general(
+            q_all, ks_all[0, 0, u].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        sc = sc * kss_line[pl.ds(u, 1)]     # dequant: [1, ltot] lane scale
+        if clamp > 0.0:
+            sc = jnp.clip(sc, -clamp, clamp)
+        gt = tid_lane + u
+        nv = jnp.where(
+            (tid_lane < 0) | (t_lane >= n_t), 0,
+            jnp.where(gt == w_tile, w_col + 1,
+                      jnp.where(gt < w_tile, ps, 0)))
+        ok = own & (col_in_tile < nv)
+        scs.append(jnp.where(ok, sc, NEG_INF))
+        oks.append(ok)
+    m = scs[0].max(axis=-1, keepdims=True)
+    for u in range(1, tps):
+        m = jnp.maximum(m, scs[u].max(axis=-1, keepdims=True))
+    l = jnp.zeros_like(m)
+    pv = jnp.zeros((kv * g, d), jnp.float32)
+    for u in range(tps):
+        e = jnp.where(oks[u], jnp.exp(scs[u] - m), 0.0)
+        l = l + jnp.sum(e, axis=-1, keepdims=True)
+        ev = e * vss_line[pl.ds(u, 1)]      # fold v dequant into probs
+        pv = pv + jax.lax.dot_general(ev, vs_all[0, 0, u].astype(
+            jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out = pv / jnp.maximum(l, 1e-30)
+    o_ref[0] = out.reshape(kv, g, d).astype(o_ref.dtype)
+
+    if write_codes:
+        pltpu.make_async_copy(
+            c_scr, c_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)],
+            sem_c).wait()
+    pltpu.make_async_copy(
+        kslab.at[:, :, pl.ds(0, 1)],
+        ksc_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_s).wait()
+    pltpu.make_async_copy(
+        vslab.at[:, :, pl.ds(0, 1)],
+        vsc_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_s).wait()
+    for h in range(kv):
+        pltpu.make_async_copy(
+            ks_all.at[:, :, pl.ds(0, 1), :, pl.ds(0, ps)],
+            k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+            sem_wk.at[h]).wait()
+        pltpu.make_async_copy(
+            vs_all.at[:, :, pl.ds(0, 1), :, pl.ds(0, ps)],
+            v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+            sem_wv.at[h]).wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=('ps', 'tps', 'scale', 'clamp', 'nt_layer',
+                              'interpret'))
+def decode_attention_rows_q(q, k_cache, v_cache, c_cache, k_scale, v_scale,
+                            tables, n_tiles, pos, k_new, v_new, c_new,
+                            kscale_new, vscale_new, tile_base=None, *,
+                            ps: int = 128, tps: int = 1, scale: float = 1.0,
+                            clamp: float = 0.0, nt_layer: int = 0,
+                            interpret: Optional[bool] = None):
+    """int8 contiguous tile-major decode attention + in-place append.
+
+    Same contract as decode_attention_rows, plus: k_cache/v_cache are
+    int8, k_scale/v_scale [B, KV, NT, 1, ps] f32 hold one dequant scale
+    per cached token, k_new/v_new [B, KV, D] are PRE-QUANTIZED int8 and
+    kscale_new/vscale_new [B, KV] their scales (see
+    inference/engine.py::_quantize_kv). `nt_layer` = tiles per layer
+    block (every table id must fall in [tile_base, tile_base+nt_layer));
+    defaults to the whole pool. Returns (o, k', v', c', k_scale',
+    v_scale') — all caches updated in place."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    b, kv, g, d = q.shape
+    n_sub = c_cache.shape[3]
+    t_max = tables.shape[2]
+    write_codes = n_sub > 1
+    if nt_layer == 0:
+        nt_layer = k_cache.shape[2]
+    vmem_mb = (kv * t_max * tps * ps * 2 * d * k_cache.dtype.itemsize
+               + kv * nt_layer * ps * 2 * 4) / 2**20
+    assert vmem_mb < 12, (
+        f'packed K/V + scale-slab buffers need {vmem_mb:.1f} MB VMEM — '
+        f'reduce the table width (t_max), tps, or split kv heads')
+    if tile_base is None:
+        tile_base = jnp.zeros((b,), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, kv, g, d), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((1, kv, d, 1), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, kv, d, 1), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, kv, n_sub, 1), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, kv, 1, 1), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, kv, 1, 1), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, kv, t_max), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kv, g, d), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, 1, tps, d, kv * t_max * ps), k_cache.dtype),
+            pltpu.VMEM((1, 1, tps, d, kv * t_max * ps), v_cache.dtype),
+            pltpu.VMEM((1, kv, nt_layer, 1, ps), jnp.float32),
+            pltpu.VMEM((1, kv, nt_layer, 1, ps), jnp.float32),
+            pltpu.VMEM((tps, kv * t_max * ps), jnp.float32),
+            pltpu.VMEM((tps, kv * t_max * ps), jnp.float32),
+            pltpu.VMEM((1, kv, 1, n_sub, ps), c_cache.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((kv,)),
+            pltpu.SemaphoreType.DMA((kv,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(_rows_kernel_q, ps=ps, tps=tps, t_max=t_max,
+                               nt_layer=nt_layer, scale=scale, clamp=clamp,
+                               write_codes=write_codes, kv=kv)
+    o, k2, v2, c2, ks2, vs2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kv, g, d), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(c_cache.shape, c_cache.dtype),
+            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+        ],
+        # flattened inputs: 4 scalars, q=4, k_cache=5, v_cache=6,
+        # c_cache=7, k_scale=8, v_scale=9, k_new=10, v_new=11, c_new=12,
+        # kscale_new=13, vscale_new=14, tables(vmem)=15
+        input_output_aliases={5: 1, 6: 2, 7: 3, 8: 4, 9: 5},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=interpret,
+    )(tables, n_tiles, pos, tile_base, q, k_cache, v_cache, c_cache,
+      k_scale, v_scale, k_new[..., None], v_new[..., None],
+      c_new[..., None], kscale_new[..., None, None],
+      vscale_new[..., None, None], tables)
+    return o, k2, v2, c2, ks2, vs2
+
+
+def decode_attention_rows_q_ref(q, k_cache, v_cache, c_cache, k_scale,
+                                v_scale, tables, n_tiles, pos, k_new,
+                                v_new, c_new, kscale_new, vscale_new,
+                                tile_base=None, *, ps: int = 128,
+                                tps: int = 1, scale: float = 1.0,
+                                clamp: float = 0.0):
+    """jnp oracle for decode_attention_rows_q: dequantize the whole cache
+    and defer to decode_attention_rows_ref semantics."""
+    b, kv, g, d = q.shape
+    if tile_base is None:
+        tile_base = jnp.zeros((b,), jnp.int32)
+    bi = jnp.arange(b)[:, None]
+    hi = jnp.arange(kv)[None, :]
+    wt = (tile_base + pos // ps)[:, None]
+    wc = jax.lax.rem(pos, ps)[:, None]
+    upd = lambda cache, new: cache.at[bi, hi, wt, :, wc].set(
+        new.astype(cache.dtype))
+    k_cache = upd(k_cache, k_new)
+    v_cache = upd(v_cache, v_new)
+    c_cache = upd(c_cache, c_new)
+    k_scale = upd(k_scale, kscale_new[..., None])
+    v_scale = upd(v_scale, vscale_new[..., None])
+    kf = k_cache.astype(jnp.float32) * k_scale
+    vf = v_cache.astype(jnp.float32) * v_scale
+    o, _, _, _ = decode_attention_rows_ref(
+        q, kf, vf, c_cache, tables, n_tiles, pos,
+        (k_new.astype(jnp.float32) * kscale_new[..., None]),
+        (v_new.astype(jnp.float32) * vscale_new[..., None]),
+        c_new, tile_base, ps=ps, tps=tps, scale=scale, clamp=clamp)
+    return o.astype(q.dtype), k_cache, v_cache, c_cache, k_scale, v_scale
+
+
 def decode_attention_rows_ref(q, k_cache, v_cache, c_cache, tables,
                               n_tiles, pos, k_new, v_new, c_new,
                               tile_base=None, *,

@@ -29,15 +29,22 @@ def shard_inference_weights(mesh: Mesh, iw: InferenceWeights
 def cache_shardings(mesh: Mesh, cache: KVCache) -> KVCache:
     # tile-major layout [B, KV, L*NT, D, TILE]
     kv = NamedSharding(mesh, P('data', 'model', None, None, None))
+    scales = dict()
+    if cache.quantized:
+        scales = dict(k_scale=kv, v_scale=kv)
     return KVCache(
         k=kv, v=kv, codes=kv,
-        length=NamedSharding(mesh, P('data')))
+        length=NamedSharding(mesh, P('data')), **scales)
 
 
 def shard_cache(mesh: Mesh, cache: KVCache) -> KVCache:
     sh = cache_shardings(mesh, cache)
+    scales = dict()
+    if cache.quantized:
+        scales = dict(k_scale=jax.device_put(cache.k_scale, sh.k_scale),
+                      v_scale=jax.device_put(cache.v_scale, sh.v_scale))
     return KVCache(
         k=jax.device_put(cache.k, sh.k),
         v=jax.device_put(cache.v, sh.v),
         codes=jax.device_put(cache.codes, sh.codes),
-        length=jax.device_put(cache.length, sh.length))
+        length=jax.device_put(cache.length, sh.length), **scales)
