@@ -42,6 +42,15 @@ def main(argv=None):
                    help='ZeRO-3-equivalent: shard params + optimizer '
                         "state over the 'data' axis "
                         '(ref 4-sparse-tuning-1.py DeepSpeed stage 3)')
+    p.add_argument('--mesh_pipe', type=int, default=1,
+                   help='pipeline stages (GPipe over the stacked-layer '
+                        'axis; parallel/pipeline.py)')
+    p.add_argument('--pp_micro', type=int, default=2,
+                   help='microbatches per pipeline step')
+    p.add_argument('--ep', action='store_true',
+                   help='expert-parallel routed FFN: tokens+blocks shard '
+                        "over 'data', all_to_all dispatch "
+                        '(ops/routed_ffn_ep.py)')
     p.add_argument('--stages', type=str,
                    default='lora,ffn,mha_v1,mha_v2',
                    help='comma-separated upgrade stages to apply')
@@ -68,9 +77,13 @@ def main(argv=None):
     cfg.validate()
 
     mesh = None
-    if args.mesh_data or args.mesh_model:
+    if args.mesh_data or args.mesh_model or args.mesh_pipe > 1:
         from spt_proto_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(args.mesh_data, args.mesh_model)
+        mesh = make_mesh(args.mesh_data, args.mesh_model,
+                         n_pipe=args.mesh_pipe)
+    if args.ep:
+        assert mesh is not None, '--ep requires --mesh_data/--mesh_model'
+        cfg = cfg.replace(ffn_impl='ep')
 
     if args.data_root:
         from spt_proto_tpu.data.datamodule import (default_tokenizer,
@@ -97,6 +110,7 @@ def main(argv=None):
         cfg, params, batches, lr=args.lr, weight_decay=args.weight_decay,
         max_steps=args.steps, log_every=10, log_fn=log, mesh=mesh,
         fsdp=args.fsdp,
+        pp_micro=args.pp_micro if args.mesh_pipe > 1 else None,
         checkpoint_dir=args.out + '-trainstate',
         checkpoint_every=args.save_every, resume=args.resume)
 

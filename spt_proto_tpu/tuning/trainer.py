@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from spt_proto_tpu.config import ModelConfig
+from spt_proto_tpu.config import FFN_ROUTED, ModelConfig
 from spt_proto_tpu.models.decoder import DecoderLM
 from spt_proto_tpu.tuning.partition import masked_optimizer
 
@@ -356,13 +356,19 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
                checkpoint_dir: Optional[str] = None,
                checkpoint_every: int = 500,
                resume: bool = False,
-               mesh=None, fsdp: bool = False) -> tuple[Any, list]:
+               mesh=None, fsdp: bool = False,
+               pp_micro: Optional[int] = None) -> tuple[Any, list]:
     """Training loop. With `mesh`, params/batches are placed with the
     canonical shardings and the step is jitted over the mesh.
     freeze_base=False enables full fine-tuning (no trainable masking).
     `fsdp=True` (requires mesh) additionally shards params + optimizer
     state across the 'data' axis — the reference's DeepSpeed ZeRO-3 mode
     (script/4-sparse-tuning-1.py:172-175) expressed as sharding specs.
+    `pp_micro=M` (requires a mesh with a 'pipe' axis > 1) runs the GPipe
+    pipeline-parallel step with M microbatches (parallel/pipeline.py).
+    cfg.ffn_impl='ep' (requires mesh) dispatches routed-FFN tokens with
+    expert parallelism over the 'data' axis (ops/routed_ffn_ep.py) — the
+    ep_mesh trace context is entered automatically.
 
     Multi-host: runs unmodified under jax.distributed. Each process feeds
     its PROCESS-LOCAL batch rows (global batch = concat over processes in
@@ -386,38 +392,52 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
     if freeze_base:
         from spt_proto_tpu.tuning.partition import trainable_mask
         trainable = trainable_mask(params)
+    use_pp = pp_micro is not None and mesh is not None \
+        and mesh.shape.get('pipe', 1) > 1
     if mesh is not None:
         from spt_proto_tpu.parallel.sharding import (batch_sharding,
                                                      shard_params)
-        params = shard_params(mesh, params, fsdp=fsdp)
+        params = shard_params(mesh, params, fsdp=fsdp, pp=use_pp)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     if resume and checkpoint_dir is not None:
         import os
         if os.path.exists(os.path.join(checkpoint_dir,
                                        'train_state.npz')):
             state = load_train_state(checkpoint_dir, state)
-    step_pq = jax.jit(make_train_step(cfg, tx, trainable=trainable,
-                                      train_quantizer=True),
-                      donate_argnums=(0,))
+    import contextlib
+    trace_ctx = contextlib.ExitStack()
+    if cfg.ffn == FFN_ROUTED and cfg.ffn_impl == 'ep':
+        assert mesh is not None, "cfg.ffn_impl='ep' requires a mesh"
+        from spt_proto_tpu.ops.routed_ffn_ep import ep_mesh
+        trace_ctx.enter_context(ep_mesh(mesh, axis='data'))
+    if use_pp:
+        mk = lambda tq: make_pp_train_step(
+            cfg, tx, mesh, n_micro=pp_micro, trainable=trainable,
+            train_quantizer=tq)
+    else:
+        mk = lambda tq: make_train_step(cfg, tx, trainable=trainable,
+                                        train_quantizer=tq)
+    step_pq = jax.jit(mk(True), donate_argnums=(0,))
     step_fast = step_pq if pq_train_every == 1 else jax.jit(
-        make_train_step(cfg, tx, trainable=trainable,
-                        train_quantizer=False), donate_argnums=(0,))
+        mk(False), donate_argnums=(0,))
     history = []
-    for i, batch in enumerate(batches):
-        if max_steps is not None and i >= max_steps:
-            break
-        if mesh is not None:
-            from spt_proto_tpu.parallel.mesh import put_global_batch
-            batch = put_global_batch(batch, batch_sharding(mesh))
-        fn = step_pq if i % pq_train_every == 0 else step_fast
-        state, metrics = fn(state, batch)
-        if i % log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            history.append((i, m))
-            if log_fn and _is_main():
-                log_fn(i, m)
-        if checkpoint_dir is not None and (i + 1) % checkpoint_every == 0:
-            save_train_state(checkpoint_dir, state)
+    with trace_ctx:   # ep_mesh must be live while the steps trace
+        for i, batch in enumerate(batches):
+            if max_steps is not None and i >= max_steps:
+                break
+            if mesh is not None:
+                from spt_proto_tpu.parallel.mesh import put_global_batch
+                batch = put_global_batch(batch, batch_sharding(mesh))
+            fn = step_pq if i % pq_train_every == 0 else step_fast
+            state, metrics = fn(state, batch)
+            if i % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                history.append((i, m))
+                if log_fn and _is_main():
+                    log_fn(i, m)
+            if checkpoint_dir is not None and \
+                    (i + 1) % checkpoint_every == 0:
+                save_train_state(checkpoint_dir, state)
     if checkpoint_dir is not None:
         save_train_state(checkpoint_dir, state)
     return state.params, history

@@ -84,6 +84,46 @@ def test_pp_sparse_model_with_aux_loss():
                                rtol=2e-5)
 
 
+def test_tune_cli_pipeline_mode(tmp_path, capsys):
+    """tune CLI drives PP end-to-end: --mesh_pipe 2 on the 8-device
+    virtual mesh (4 data x 2 pipe), full surgery pipeline."""
+    from spt_proto_tpu.cli import tune
+    from spt_proto_tpu.config import tiny_config
+    from spt_proto_tpu.utils import checkpoint as ckpt_io
+    ck = str(tmp_path / 'base')
+    cfg = tiny_config('opt', vocab_size=64)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    ckpt_io.save_checkpoint(ck, cfg, params)
+    out = str(tmp_path / 'tuned')
+    tune.main(['--ckpt', ck, '--out', out, '--steps', '3',
+               '--d_lora', '4', '--seq_length', '33', '--batch_size', '8',
+               '--mesh_data', '4', '--mesh_pipe', '2', '--pp_micro', '2',
+               '--stages', 'lora'])
+    import json
+    lines = capsys.readouterr().out.strip().splitlines()
+    final = json.loads(lines[-1])
+    assert final['delta_params'] > 0
+    step0 = json.loads(lines[0])
+    assert np.isfinite(step0['loss'])
+
+
+def test_train_loop_ep_mode():
+    """train_loop auto-enters the ep_mesh context for cfg.ffn_impl='ep'."""
+    from spt_proto_tpu.parallel.mesh import make_mesh
+    from spt_proto_tpu.tuning.trainer import train_loop
+    cfg = tiny_config('opt', vocab_size=64, d_feedforward=128)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    cfg, params = surgery.full_upgrade(cfg, params, jax.random.PRNGKey(1),
+                                       d_lora=4, ffn_block_size=16)
+    cfg = cfg.replace(ffn_impl='ep')
+    mesh = make_mesh(8, 1)
+    with mesh:
+        params, history = train_loop(
+            cfg, params, make_batches(cfg, 3, batch=8, seq=33),
+            lr=1e-3, max_steps=3, log_every=1, mesh=mesh)
+    assert all(np.isfinite(m['loss']) for _, m in history)
+
+
 def test_pp_param_memory_shrinks_per_stage():
     """Each pipe rank stores only n_layers/n_pipe of the stacked params."""
     from spt_proto_tpu.parallel.mesh import make_mesh
