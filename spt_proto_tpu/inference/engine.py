@@ -54,9 +54,11 @@ class KVCache:
     v: jax.Array       # [B, KV, L*NT, D, TILE] (int8 when quantized)
     codes: jax.Array   # [B, KV, L*NT, n_sub, TILE] int32 (width 1 if dense)
     length: jax.Array  # [B] int32 — tokens currently in each slot
-    # int8 mode (ROADMAP 8): per-TOKEN dequant scales; None = bf16 cache
-    k_scale: Optional[jax.Array] = None   # [B, KV, L*NT, 1, TILE] f32
-    v_scale: Optional[jax.Array] = None   # [B, KV, L*NT, 1, TILE] f32
+    # int8 mode (ROADMAP 8): per-TOKEN dequant scales; None = bf16 cache.
+    # Tile-major-OUTER layout [B, L*NT, KV, TILE] so a layer's scale slab
+    # [NT, KV, TILE] is one contiguous HBM burst for the decode kernel.
+    k_scale: Optional[jax.Array] = None   # [B, L*NT, KV, TILE] f32
+    v_scale: Optional[jax.Array] = None   # [B, L*NT, KV, TILE] f32
 
     @staticmethod
     def create(cfg: ModelConfig, batch: int, max_len: int,
@@ -67,9 +69,10 @@ class KVCache:
         kv_dtype = jnp.int8 if quantized else dtype
         scales = dict()
         if quantized:
+            hp = -(-h // 8) * 8   # sublane-tile pad (kernel DMA contract)
             scales = dict(
-                k_scale=jnp.zeros((batch, h, l * nt, 1, TILE), jnp.float32),
-                v_scale=jnp.zeros((batch, h, l * nt, 1, TILE), jnp.float32))
+                k_scale=jnp.zeros((batch, l * nt, hp, TILE), jnp.float32),
+                v_scale=jnp.zeros((batch, l * nt, hp, TILE), jnp.float32))
         return KVCache(
             k=jnp.zeros((batch, h, l * nt, d, TILE), kv_dtype),
             v=jnp.zeros((batch, h, l * nt, d, TILE), kv_dtype),
@@ -342,9 +345,23 @@ def prefill(iw: InferenceWeights, tokens: jax.Array,
     if cache.quantized:
         ks, ksc = _quantize_kv(ks)         # [L,B,KV,S,D] -> + [L,B,KV,S]
         vs, vsc = _quantize_kv(vs)
+
+        def sc_tiles(x_std):               # [L,B,KV,S] -> [B,L,NTm,KV,T]
+            pad = nt_m * TILE - s
+            xp = jnp.pad(x_std, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            xp = xp.reshape(l, b, cfg.kv_heads, nt_m, TILE)
+            return xp.transpose(1, 0, 3, 2, 4)
+
+        def sc_splice(big, tiles):         # big [B, L*NT, KV_pad, T]
+            hp = big.shape[2]
+            view = big.reshape(b, l, nt, hp, TILE)
+            view = jax.lax.dynamic_update_slice(
+                view, tiles.astype(big.dtype), (0, 0, 0, 0, 0))
+            return view.reshape(big.shape)
+
         scales = dict(
-            k_scale=splice(cache.k_scale, to_tiles(ksc[..., None], 1)),
-            v_scale=splice(cache.v_scale, to_tiles(vsc[..., None], 1)))
+            k_scale=sc_splice(cache.k_scale, sc_tiles(ksc)),
+            v_scale=sc_splice(cache.v_scale, sc_tiles(vsc)))
     cache = KVCache(
         k=splice(cache.k, to_tiles(ks, cfg.d_head)),
         v=splice(cache.v, to_tiles(vs, cfg.d_head)),
@@ -655,8 +672,14 @@ def grow_cache(cache: KVCache, new_len: int, n_layers: int) -> KVCache:
 
     scales = dict()
     if cache.quantized:
-        scales = dict(k_scale=grow(cache.k_scale),
-                      v_scale=grow(cache.v_scale))
+        def grow_sc(big):      # [B, L*NT, KV, T]
+            b = big.shape[0]
+            view = big.reshape(b, n_layers, nt_old, *big.shape[2:])
+            w = ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))
+            return jnp.pad(view, w).reshape(b, n_layers * nt_new,
+                                            *big.shape[2:])
+        scales = dict(k_scale=grow_sc(cache.k_scale),
+                      v_scale=grow_sc(cache.v_scale))
     return KVCache(k=grow(cache.k), v=grow(cache.v),
                    codes=grow(cache.codes), length=cache.length, **scales)
 

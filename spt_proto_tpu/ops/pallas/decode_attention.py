@@ -559,9 +559,9 @@ def _rows_kernel_q(tables, n_tiles, pos, tile_base,                 # SMEM
 
     # ---- scale slabs: one strided DMA each (kv rows x nt_layer tiles)
     rks = pltpu.make_async_copy(
-        ksc_ref.at[pl.ds(b, 1), :, pl.ds(base, nt_layer)], kslab, sem_s)
+        ksc_ref.at[pl.ds(b, 1), pl.ds(base, nt_layer)], kslab, sem_s)
     rvs = pltpu.make_async_copy(
-        vsc_ref.at[pl.ds(b, 1), :, pl.ds(base, nt_layer)], vslab, sem_s)
+        vsc_ref.at[pl.ds(b, 1), pl.ds(base, nt_layer)], vslab, sem_s)
     rks.start()
     rvs.start()
 
@@ -597,19 +597,17 @@ def _rows_kernel_q(tables, n_tiles, pos, tile_base,                 # SMEM
     # merge the new token's scales into the slabs, write the write-tile
     # scale rows back (one strided copy per operand)
     rel_w = w_tile - base
-    slab_t = jax.lax.broadcasted_iota(jnp.int32, kslab.shape, 2)
-    slab_l = jax.lax.broadcasted_iota(jnp.int32, kslab.shape, 4)
+    slab_t = jax.lax.broadcasted_iota(jnp.int32, kslab.shape, 1)
+    slab_l = jax.lax.broadcasted_iota(jnp.int32, kslab.shape, 3)
     sel_s = (slab_t == rel_w) & (slab_l == w_col)
-    kslab[...] = jnp.where(sel_s, kscn_ref[...][:, :, :, :, None],
-                           kslab[...])
-    vslab[...] = jnp.where(sel_s, vscn_ref[...][:, :, :, :, None],
-                           vslab[...])
+    kslab[...] = jnp.where(sel_s, kscn_ref[...], kslab[...])
+    vslab[...] = jnp.where(sel_s, vscn_ref[...], vslab[...])
     wks = pltpu.make_async_copy(
-        kslab.at[:, :, pl.ds(rel_w, 1)],
-        ksc_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_s)
+        kslab.at[:, pl.ds(rel_w, 1)],
+        ksc_out.at[pl.ds(b, 1), pl.ds(w_tile, 1)], sem_s)
     wvs = pltpu.make_async_copy(
-        vslab.at[:, :, pl.ds(rel_w, 1)],
-        vsc_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_s)
+        vslab.at[:, pl.ds(rel_w, 1)],
+        vsc_out.at[pl.ds(b, 1), pl.ds(w_tile, 1)], sem_s)
     wks.start()
     wvs.start()
 
@@ -621,9 +619,9 @@ def _rows_kernel_q(tables, n_tiles, pos, tile_base,                 # SMEM
             lane0 = (h * t_max + t) * ps
             for u in range(tps):
                 kss_line[pl.ds(u, 1), pl.ds(lane0, ps)] = \
-                    kslab[0, h, pl.ds(rel + u, 1), 0]
+                    kslab[0, pl.ds(rel + u, 1), h]
                 vss_line[pl.ds(u, 1), pl.ds(lane0, ps)] = \
-                    vslab[0, h, pl.ds(rel + u, 1), 0]
+                    vslab[0, pl.ds(rel + u, 1), h]
 
     for ck, cv in copies:
         ck.wait()
@@ -702,11 +700,11 @@ def _rows_kernel_q(tables, n_tiles, pos, tile_base,                 # SMEM
             c_scr, c_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)],
             sem_c).wait()
     pltpu.make_async_copy(
-        kslab.at[:, :, pl.ds(0, 1)],
-        ksc_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_s).wait()
+        kslab.at[:, pl.ds(0, 1)],
+        ksc_out.at[pl.ds(b, 1), pl.ds(w_tile, 1)], sem_s).wait()
     pltpu.make_async_copy(
-        vslab.at[:, :, pl.ds(0, 1)],
-        vsc_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_s).wait()
+        vslab.at[:, pl.ds(0, 1)],
+        vsc_out.at[pl.ds(b, 1), pl.ds(w_tile, 1)], sem_s).wait()
     for h in range(kv):
         pltpu.make_async_copy(
             ks_all.at[:, :, pl.ds(0, 1), :, pl.ds(0, ps)],
@@ -730,8 +728,11 @@ def decode_attention_rows_q(q, k_cache, v_cache, c_cache, k_scale, v_scale,
     """int8 contiguous tile-major decode attention + in-place append.
 
     Same contract as decode_attention_rows, plus: k_cache/v_cache are
-    int8, k_scale/v_scale [B, KV, NT, 1, ps] f32 hold one dequant scale
-    per cached token, k_new/v_new [B, KV, D] are PRE-QUANTIZED int8 and
+    int8, k_scale/v_scale [B, NT, KV_pad, ps] f32 hold one dequant scale
+    per cached token (tile-major-outer layout: a layer's slab
+    [nt_layer, KV_pad, ps] is one contiguous HBM burst; KV_pad is the kv
+    head count rounded up to 8 — Mosaic DMAs fault when the second-minor
+    dim straddles a sublane tile, e.g. 12), k_new/v_new [B, KV, D] are PRE-QUANTIZED int8 and
     kscale_new/vscale_new [B, KV] their scales (see
     inference/engine.py::_quantize_kv). `nt_layer` = tiles per layer
     block (every table id must fall in [tile_base, tile_base+nt_layer));
@@ -745,6 +746,13 @@ def decode_attention_rows_q(q, k_cache, v_cache, c_cache, k_scale, v_scale,
     write_codes = n_sub > 1
     if nt_layer == 0:
         nt_layer = k_cache.shape[2]
+    kv_pad = k_scale.shape[2]
+    assert kv_pad >= kv and kv_pad % 8 == 0 or kv_pad == kv, \
+        (kv, kv_pad)
+    if kv_pad > kv:
+        pad = ((0, 0), (0, kv_pad - kv))
+        kscale_new = jnp.pad(kscale_new, pad)
+        vscale_new = jnp.pad(vscale_new, pad)
     vmem_mb = (kv * t_max * tps * ps * 2 * d * k_cache.dtype.itemsize
                + kv * nt_layer * ps * 2 * 4) / 2**20
     assert vmem_mb < 12, (
@@ -765,8 +773,8 @@ def decode_attention_rows_q(q, k_cache, v_cache, c_cache, k_scale, v_scale,
             pl.BlockSpec((1, kv, d, 1), lambda i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((1, kv, d, 1), lambda i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((1, kv, n_sub, 1), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, kv, 1, 1), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, kv, 1, 1), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, kv_pad, 1), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, kv_pad, 1), lambda i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((1, kv, t_max), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=[
@@ -780,8 +788,8 @@ def decode_attention_rows_q(q, k_cache, v_cache, c_cache, k_scale, v_scale,
         scratch_shapes=[
             pltpu.VMEM((1, 1, tps, d, kv * t_max * ps), k_cache.dtype),
             pltpu.VMEM((1, 1, tps, d, kv * t_max * ps), v_cache.dtype),
-            pltpu.VMEM((1, kv, nt_layer, 1, ps), jnp.float32),
-            pltpu.VMEM((1, kv, nt_layer, 1, ps), jnp.float32),
+            pltpu.VMEM((1, nt_layer, kv_pad, ps), jnp.float32),
+            pltpu.VMEM((1, nt_layer, kv_pad, ps), jnp.float32),
             pltpu.VMEM((tps, kv * t_max * ps), jnp.float32),
             pltpu.VMEM((tps, kv * t_max * ps), jnp.float32),
             pltpu.VMEM((1, kv, 1, n_sub, ps), c_cache.dtype),
@@ -815,8 +823,8 @@ def decode_attention_rows_q(q, k_cache, v_cache, c_cache, k_scale, v_scale,
         interpret=interpret,
     )(tables, n_tiles, pos, tile_base, q, k_cache, v_cache, c_cache,
       k_scale, v_scale, k_new[..., None], v_new[..., None],
-      c_new[..., None], kscale_new[..., None, None],
-      vscale_new[..., None, None], tables)
+      c_new[..., None], kscale_new[:, None, :, None],
+      vscale_new[:, None, :, None], tables)
     return o, k2, v2, c2, ks2, vs2
 
 
@@ -840,10 +848,12 @@ def decode_attention_rows_q_ref(q, k_cache, v_cache, c_cache, k_scale,
     k_cache = upd(k_cache, k_new)
     v_cache = upd(v_cache, v_new)
     c_cache = upd(c_cache, c_new)
-    k_scale = upd(k_scale, kscale_new[..., None])
-    v_scale = upd(v_scale, vscale_new[..., None])
-    kf = k_cache.astype(jnp.float32) * k_scale
-    vf = v_cache.astype(jnp.float32) * v_scale
+    # scales are [B, NT, KV_pad, ps]: index (b, tile, head, lane)
+    k_scale = k_scale.at[bi, wt, hi, wc].set(kscale_new)
+    v_scale = v_scale.at[bi, wt, hi, wc].set(vscale_new)
+    sc_t = lambda s_: s_.transpose(0, 2, 1, 3)[:, :kv, :, None, :]
+    kf = k_cache.astype(jnp.float32) * sc_t(k_scale)
+    vf = v_cache.astype(jnp.float32) * sc_t(v_scale)
     o, _, _, _ = decode_attention_rows_ref(
         q, kf, vf, c_cache, tables, n_tiles, pos,
         (k_new.astype(jnp.float32) * kscale_new[..., None]),

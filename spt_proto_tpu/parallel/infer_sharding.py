@@ -31,7 +31,9 @@ def cache_shardings(mesh: Mesh, cache: KVCache) -> KVCache:
     kv = NamedSharding(mesh, P('data', 'model', None, None, None))
     scales = dict()
     if cache.quantized:
-        scales = dict(k_scale=kv, v_scale=kv)
+        # scale layout [B, L*NT, KV, TILE] — heads on dim 2
+        sc = NamedSharding(mesh, P('data', None, 'model', None))
+        scales = dict(k_scale=sc, v_scale=sc)
     return KVCache(
         k=kv, v=kv, codes=kv,
         length=NamedSharding(mesh, P('data')), **scales)

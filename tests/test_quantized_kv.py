@@ -33,8 +33,8 @@ def _kernel_case(b=2, kv=2, g=2, d=64, nt=4, t_max=3, tps=1, n_sub=1,
     v8, vs = _quantize_kv(jnp.asarray(vf).swapaxes(3, 4))
     k8 = k8.swapaxes(3, 4)
     v8 = v8.swapaxes(3, 4)
-    ks = ks[:, :, :, None, :]                               # [B,KV,NT,1,PS]
-    vs = vs[:, :, :, None, :]
+    ks = ks.transpose(0, 2, 1, 3)                           # [B,NT,KV,PS]
+    vs = vs.transpose(0, 2, 1, 3)
     c = jnp.zeros((b, kv, nt, n_sub, PS), jnp.int32)
     q = jnp.asarray(r.randn(b, kv, g, d).astype(np.float32))
     kn8, ksn = _quantize_kv(jnp.asarray(r.randn(b, kv, d), jnp.float32))
@@ -139,6 +139,7 @@ def test_cache_memory_halves():
     bytes16 = c16.k.nbytes + c16.v.nbytes
     bytes8 = (c8.k.nbytes + c8.v.nbytes + c8.k_scale.nbytes
               + c8.v_scale.nbytes)
-    # int8 halves the values; per-token f32 scales add 4/(2*D) overhead
-    # (12.5% at this tiny d_head=16; ~3% at the production d_head=64)
-    assert bytes8 <= bytes16 * 0.625, (bytes8, bytes16)
+    # int8 halves the values; per-token f32 scales add 4/(2*D) x (pad 8/KV)
+    # overhead — 25% at this tiny d_head=16/kv=4, ~4% at the production
+    # d_head=64/kv=12 (ratio ~0.54)
+    assert bytes8 <= bytes16 * 0.8, (bytes8, bytes16)
