@@ -132,6 +132,31 @@ def _splice_slot(cache: KVCache, slot, mk, mv, mc, new_len,
         length=cache.length.at[slot].set(new_len))
 
 
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(8,))
+def _splice_slot_q(cache: KVCache, slot, mk, mv, mc, mks, mvs, new_len,
+                   n_layers) -> KVCache:
+    """_splice_slot for the int8 cache: also splices the mini scale pools
+    ([1, L*NTm, KV_pad, T] tile-major-outer) into the slot row."""
+    base = _splice_slot(dataclasses.replace(cache, k_scale=None,
+                                            v_scale=None),
+                        slot, mk, mv, mc, new_len, n_layers)
+    nt = cache.tiles_per_layer(n_layers)
+    nt_m = mks.shape[1] // n_layers
+    hp = cache.k_scale.shape[2]
+
+    def spl_sc(big, mini):
+        b = big.shape[0]
+        view = big.reshape(b, n_layers, nt, hp, big.shape[-1])
+        mview = mini.reshape(1, n_layers, nt_m, hp, mini.shape[-1])
+        view = jax.lax.dynamic_update_slice(
+            view, mview.astype(big.dtype), (slot, 0, 0, 0, 0))
+        return view.reshape(big.shape)
+
+    return dataclasses.replace(base,
+                               k_scale=spl_sc(cache.k_scale, mks),
+                               v_scale=spl_sc(cache.v_scale, mvs))
+
+
 @dataclasses.dataclass
 class _Live:
     request_id: int
@@ -156,7 +181,8 @@ class ContinuousBatchingEngine:
                  temperature: float = 0.0, eos_id: Optional[int] = None,
                  paged: bool = False, page_size: int = 64,
                  n_pages: Optional[int] = None, seed: int = 0,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 quantized_kv: bool = False):
         self.iw = iw
         self.n_slots = n_slots
         self.max_len = max_len
@@ -172,6 +198,11 @@ class ContinuousBatchingEngine:
             assert prefill_chunk % TILE == 0, \
                 f'prefill_chunk must be a multiple of {TILE}'
         self.chunk = prefill_chunk
+        # int8 KV cache (per-token scales): halves cache bytes => double
+        # the slots a chip can hold. Contiguous cache only.
+        assert not (paged and quantized_kv), \
+            'int8 KV is wired for the contiguous cache only'
+        self.quantized_kv = quantized_kv
         self._chunking: Dict[int, dict] = {}   # slot -> chunked-prefill state
         self.last_step_prefill_tokens = 0      # jitter observability
         self._lib = native_scheduler_lib()
@@ -197,7 +228,8 @@ class ContinuousBatchingEngine:
             # max_len); prefill donates its mini cache, splice is in place
             self.cap = min(max_len, DECODE_BUCKET)
             self.cache = KVCache.create(iw.cfg, n_slots, self.cap,
-                                        dtype=iw.cfg.dtype)
+                                        dtype=iw.cfg.dtype,
+                                        quantized=quantized_kv)
             self._prefill_fn = jax.jit(prefill, donate_argnums=(2,))
             self._chunk_fn = jax.jit(_chunk_prefill, static_argnums=(4,),
                                      donate_argnums=(2,))
@@ -300,13 +332,19 @@ class ContinuousBatchingEngine:
             if sb > self.cap:
                 self._grow(sb)
             mini = KVCache.create(self.iw.cfg, 1, sb,
-                                  dtype=self.cache.k.dtype)
+                                  dtype=self.iw.cfg.dtype,
+                                  quantized=self.quantized_kv)
             logits, mini = self._prefill_fn(self.iw, jnp.asarray(padded),
                                             mini)
             # splice slot cache in place; true length is s (not padded sb)
-            self.cache = _splice_slot(self.cache, slot, mini.k, mini.v,
-                                      mini.codes, s,
-                                      self.iw.cfg.n_layers)
+            if self.quantized_kv:
+                self.cache = _splice_slot_q(
+                    self.cache, slot, mini.k, mini.v, mini.codes,
+                    mini.k_scale, mini.v_scale, s, self.iw.cfg.n_layers)
+            else:
+                self.cache = _splice_slot(self.cache, slot, mini.k, mini.v,
+                                          mini.codes, s,
+                                          self.iw.cfg.n_layers)
         self._rng, sub = jax.random.split(self._rng)
         tok = int(sample(logits[:, s - 1], sub,
                          temperature=self.temperature)[0])

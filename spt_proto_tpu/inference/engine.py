@@ -398,9 +398,6 @@ def prefill_chunk(iw: InferenceWeights, tokens: jax.Array, cache: KVCache,
     p = iw.params
     b, c = tokens.shape
     assert b == 1, 'prefill_chunk serves one slot at a time'
-    assert not cache.quantized, \
-        'chunked prefill over the int8 cache is not wired yet — use ' \
-        'quantized_kv with whole-prompt prefill (engine.generate)'
     assert c % TILE == 0 and offset % TILE == 0, \
         f'chunk ({c}) and offset ({offset}) must be multiples of {TILE}'
     l = cfg.n_layers
@@ -434,11 +431,31 @@ def prefill_chunk(iw: InferenceWeights, tokens: jax.Array, cache: KVCache,
             l, 1, kv, t0s * TILE, big.shape[3])
         return tok[:, :, :, :offset]
 
-    past_k, past_v = slot_past(cache.k), slot_past(cache.v)
+    if cache.quantized:
+        # dequantize the past ONCE outside the scan (same aliasing rule);
+        # attention over [dequantized past + exact chunk] mirrors decode
+        hp = cache.k_scale.shape[2]
+
+        def slot_past_sc(big):             # [B, L*NT, hp, T]
+            row = jax.lax.dynamic_slice(
+                big, (slot, 0, 0, 0), (1, l * nt, hp, TILE))
+            per_layer = row.reshape(1, l, nt, hp, TILE)[:, :, :t0s]
+            tok = per_layer.transpose(1, 0, 3, 2, 4).reshape(
+                l, 1, hp, t0s * TILE)
+            return tok[:, :, :kv, :offset]               # [L,1,KV,off]
+
+        ksc_past = slot_past_sc(cache.k_scale)
+        vsc_past = slot_past_sc(cache.v_scale)
+        past_k = (slot_past(cache.k).astype(jnp.float32)
+                  * ksc_past[..., None]).astype(cfg.dtype)
+        past_v = (slot_past(cache.v).astype(jnp.float32)
+                  * vsc_past[..., None]).astype(cfg.dtype)
+    else:
+        past_k, past_v = slot_past(cache.k), slot_past(cache.v)
     past_c = slot_past(cache.codes)
 
     def layer(carry, inp):
-        x, kc, vc, cc = carry
+        x, kc, vc, cc, ksc, vsc = carry
         bp, lix, k_past, v_past, c_past0 = inp
         hn = _norm(cfg, bp['norm1'], x)
         q = _dense(bp['mha']['q'], hn)
@@ -495,17 +512,32 @@ def prefill_chunk(iw: InferenceWeights, tokens: jax.Array, cache: KVCache,
                                   ).transpose(0, 1, 2, 4, 3)
             return jax.lax.dynamic_update_slice(
                 big, tiles.astype(big.dtype), (slot, 0, lix * nt + t0, 0, 0))
-        kc = write(kc, k_new)
-        vc = write(vc, v_new)
-        cc = write(cc, c_new[None].astype(jnp.int32))
-        return (x, kc, vc, cc), None
+        if cache.quantized:
+            k_w, ksc_w = _quantize_kv(k_new)   # [1,KV,C,D] + [1,KV,C]
+            v_w, vsc_w = _quantize_kv(v_new)
 
-    (x, kc, vc, cc), _ = jax.lax.scan(
-        layer, (x, cache.k, cache.v, cache.codes),
+            def write_sc(big, sc):             # big [B, L*NT, hp, T]
+                tiles = sc.reshape(1, kv, nt_c, TILE).transpose(0, 2, 1, 3)
+                return jax.lax.dynamic_update_slice(
+                    big, tiles.astype(big.dtype),
+                    (slot, lix * nt + t0, 0, 0))
+            ksc = write_sc(ksc, ksc_w)
+            vsc = write_sc(vsc, vsc_w)
+        else:
+            k_w, v_w = k_new, v_new
+        kc = write(kc, k_w)
+        vc = write(vc, v_w)
+        cc = write(cc, c_new[None].astype(jnp.int32))
+        return (x, kc, vc, cc, ksc, vsc), None
+
+    (x, kc, vc, cc, ksc, vsc), _ = jax.lax.scan(
+        layer, (x, cache.k, cache.v, cache.codes,
+                cache.k_scale, cache.v_scale),
         (p['blocks'], jnp.arange(l), past_k, past_v, past_c))
     new_len = jax.lax.dynamic_update_slice(
         cache.length, jnp.array([s_tot], jnp.int32), (slot,))
-    cache = KVCache(k=kc, v=vc, codes=cc, length=new_len)
+    cache = KVCache(k=kc, v=vc, codes=cc, length=new_len,
+                    k_scale=ksc, v_scale=vsc)
     x = _norm(cfg, p['final_norm'], x)
     logits = _dense(p['lm_head'], x)
     return logits, cache

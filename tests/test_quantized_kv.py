@@ -143,3 +143,76 @@ def test_cache_memory_halves():
     # overhead — 25% at this tiny d_head=16/kv=4, ~4% at the production
     # d_head=64/kv=12 (ratio ~0.54)
     assert bytes8 <= bytes16 * 0.8, (bytes8, bytes16)
+
+
+def test_chunked_prefill_quantized_tracks_bf16_chunked():
+    """prefill_chunk over the int8 cache: decode logits after a chunked
+    quantized prefill track the SAME chunked prefill on the bf16 cache
+    (isolates quantization error from the chunk path's different sparse
+    selection contract vs whole-prompt prefill)."""
+    from spt_proto_tpu.inference.engine import prefill_chunk
+
+    cfg, iw = _setup_model('sparse_v2')
+    s = 256
+    prompts = jnp.asarray(
+        np.random.RandomState(3).randint(1, cfg.vocab_size, (1, s)),
+        jnp.int32)
+    caches = {
+        False: KVCache.create(cfg, 1, 384, dtype=cfg.dtype),
+        True: KVCache.create(cfg, 1, 384, dtype=cfg.dtype, quantized=True),
+    }
+    dec = {}
+    slot = jnp.int32(0)
+    for quant, c in caches.items():
+        for off in (0, 128):
+            lg, c = prefill_chunk(iw, prompts[:, off:off + 128], c,
+                                  slot, off)
+        tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+        d, c = jax.jit(decode_step)(iw, tok, c)
+        dec[quant] = np.asarray(d, np.float32)
+    err = (np.linalg.norm(dec[True] - dec[False])
+           / np.linalg.norm(dec[False]))
+    assert err < 0.05, err
+
+
+def test_continuous_batching_quantized_matches_generate():
+    """ContinuousBatchingEngine(quantized_kv=True) greedy completions ==
+    isolated generate(quantized_kv=True): identical quantized math on
+    both paths."""
+    from spt_proto_tpu.inference.batching import ContinuousBatchingEngine
+
+    cfg = tiny_config('opt').replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    prompts = [list(rng.randint(1, cfg.vocab_size, size=n))
+               for n in (5, 9, 3)]
+    eng = ContinuousBatchingEngine(iw, n_slots=2, max_len=64,
+                                   prefill_bucket=16, quantized_kv=True)
+    rids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+    completions = {c.request_id: c.tokens for c in eng.run_until_done()}
+    assert set(completions) == set(rids)
+    for p, rid in zip(prompts, rids):
+        ref = generate(iw, jnp.asarray([p], jnp.int32), 5, max_len=64,
+                       quantized_kv=True)
+        ref_new = list(np.asarray(ref)[0, len(p):])
+        assert completions[rid] == ref_new, (completions[rid], ref_new)
+
+
+def test_chunked_quantized_in_engine():
+    """Chunked prefill + int8 cache inside the batching engine."""
+    from spt_proto_tpu.inference.batching import ContinuousBatchingEngine
+
+    cfg = tiny_config('opt', max_length=512).replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(4))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    rng = np.random.RandomState(5)
+    prompts = [list(rng.randint(1, cfg.vocab_size, size=n))
+               for n in (300, 6)]
+    eng = ContinuousBatchingEngine(iw, n_slots=2, max_len=448,
+                                   prefill_bucket=16, prefill_chunk=128,
+                                   quantized_kv=True)
+    rids = [eng.submit(p, max_new_tokens=4) for p in prompts]
+    completions = eng.run_until_done()
+    assert len(completions) == 2
+    assert all(len(c.tokens) == 4 for c in completions)
