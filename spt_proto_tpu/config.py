@@ -48,6 +48,12 @@ class ModelConfig:
     score_clamp: float = 10.0       # logit clamp (ref sparse/attention.py:125)
     pq_metric: str = 'l1'           # 'l1' = reference cdist; 'l2' = MXU-fast
     sparse_decode: str = 'tiles'    # decode selection: 'tiles' | 'rows'
+    # kv heads sharing one decode tile table (1 = per-head selection;
+    # kv_heads = fully shared). >1 pools PQ tile scores across the group
+    # and lets the decode kernel fetch each tile with one grouped DMA —
+    # the per-tile DMA issue count is the measured decode floor
+    # (docs/PERF.md round 2)
+    sparse_select_heads: int = 1
     # routed FFN (ref adapter.py:163: block_size = d_ff//4 => 4 blocks)
     ffn_block_size: Optional[int] = None
     ffn_top_k: Optional[int] = None  # default: n_blocks//2
@@ -121,6 +127,9 @@ class ModelConfig:
         if self.ffn == FFN_ROUTED:
             assert self.ffn_block_size is not None
             assert self.d_feedforward % self.ffn_block_size == 0
+        if self.attention == ATTN_SPARSE_V2:
+            assert self.kv_heads % self.sparse_select_heads == 0, \
+                (self.kv_heads, self.sparse_select_heads)
         if self.context_parallel:
             assert self.attention != ATTN_SPARSE_V2, \
                 'context parallelism supports dense/v1 attention only'

@@ -623,14 +623,23 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
             # group-pooled tile scores over FULL tiles only (< cur);
             # the current (partial) tile is always appended last
             tscore = match.mean(axis=(2, 4))               # [B, KV, NT]
+            # grouped selection: sparse_select_heads consecutive kv heads
+            # share one tile table => the kernel fetches each tile with
+            # ONE grouped DMA (the per-tile DMA issue count is the decode
+            # floor; see _rows_kernel sel_group). 1 = reference-faithful
+            # per-head selection.
+            gsel = cfg.sparse_select_heads
+            if gsel > 1:
+                tscore = tscore.reshape(b, kv // gsel, gsel, nt).mean(2)
+            n_tab = kv // gsel
             full_t = jnp.arange(nt)[None, :] < cur[:, None]
             tscore = jnp.where(full_t[:, None, :], tscore, -jnp.inf)
-            svals, sidx = jax.lax.top_k(tscore, nsel - 1)  # [B,KV,nsel-1]
+            svals, sidx = jax.lax.top_k(tscore, nsel - 1)
             s_ok = svals > -jnp.inf
             rel = jnp.where(s_ok, sidx, -1)
             tables = jnp.concatenate(
                 [rel, jnp.broadcast_to(cur[:, None, None],
-                                       (b, kv, 1))], axis=-1)
+                                       (b, n_tab, 1))], axis=-1)
             n_tiles = jnp.full((b,), nsel, jnp.int32)
             tps = 1
             clamp = cfg.score_clamp
@@ -640,8 +649,10 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
             n_sup = cur // tps_d + 1                       # [B]
             rel = jnp.where(e[None] < n_sup[:, None], e * tps_d, -1)
             # contract: entry n_tiles-1 must contain pos — true since
-            # entry n_sup-1 covers [(n_sup-1)*tps, n_sup*tps)
-            tables = jnp.broadcast_to(rel[:, None, :], (b, kv, n_sup_max))
+            # entry n_sup-1 covers [(n_sup-1)*tps, n_sup*tps). ONE table
+            # row: dense tables are identical across heads, so the kernel
+            # always fetches them with fully grouped DMAs (sel_group=kv)
+            tables = rel[:, None, :]                       # [B, 1, n_sup]
             n_tiles = n_sup
             tps = tps_d
             clamp = 0.0
@@ -649,6 +660,10 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
         if quantized:
             k8, ks_new = _quantize_kv(k_new)          # [B,KV,D] + [B,KV]
             v8, vs_new = _quantize_kv(v_new)
+            # the quantized kernel takes per-head tables (grouped DMAs
+            # not ported to it yet)
+            if tables.shape[1] != kv:
+                tables = jnp.repeat(tables, kv // tables.shape[1], axis=1)
             o, kc, vc, cc, ksc, vsc = decode_attention_rows_q(
                 q4, kc, vc, cc, ksc, vsc, tables.astype(jnp.int32),
                 n_tiles, pos, k8, v8, c_new.astype(jnp.int32),

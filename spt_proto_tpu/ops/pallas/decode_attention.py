@@ -222,7 +222,9 @@ def decode_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
         # k_pool(6), v_pool(7), c_pool(8), k_new(9), v_new(10), c_new(11)
         input_output_aliases={6: 1, 7: 2, 8: 3},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary',)),
+            # each program reads/writes only its own slot's tiles =>
+            # megacore may split the batch grid across TensorCores
+            dimension_semantics=('parallel',)),
         interpret=interpret,
     )(tables, n_tiles, last_count, write_tile, write_slot,
       q, k_pool, v_pool, c_pool, k_new3, v_new3, c_new3)
@@ -280,9 +282,10 @@ def _rows_kernel(tables, n_tiles, pos, tile_base,                   # SMEM
                  q_ref, k_ref, v_ref, c_ref, kn_ref, vn_ref, cn_ref,
                  tabv_ref,
                  o_ref, k_out, v_out, c_out,
-                 ks_all, vs_all, c_scr, sem_l, sem_wk, sem_wv, sem_c,
-                 *, ps: int, tps: int, t_max: int, scale: float,
-                 clamp: float, write_codes: bool, kv: int):
+                 *scratch,
+                 ps: int, tps: int, t_max: int, scale: float,
+                 clamp: float, write_codes: bool, kv: int,
+                 sel_group: int = 1):
     """Single-pass whole-slot decode attention.
 
     All heads' (selected) tiles are DMA'd into ONE wide VMEM buffer
@@ -292,7 +295,25 @@ def _rows_kernel(tables, n_tiles, pos, tile_base,                   # SMEM
     [D, L] score matmul, one masked row softmax, one [KV*G, L] x [L, D]^T
     PV matmul. No per-tile online-softmax chains — at decode the VPU
     dependency chain, not bandwidth, is the floor (~2 us per tile visit
-    measured on v5e; see docs/PERF.md)."""
+    measured on v5e; see docs/PERF.md).
+
+    sel_group > 1: `sel_group` consecutive heads SHARE a table row
+    (tables [B, KV/sel_group, T]); each table entry is ONE grouped DMA
+    covering all its heads ([1, sel_group, tps, D, ps] contiguous in the
+    cache), staged and redistributed to the packed lane layout with cheap
+    in-VMEM moves, and the write-tile columns go back in ONE grouped
+    write. This divides the per-tile DMA issue count — the measured
+    decode floor — by sel_group. Dense tables are identical across
+    heads, so dense mode runs fully grouped with unchanged semantics;
+    sparse grouping pools the PQ tile selection across the group
+    (cfg.sparse_select_heads — a recall/speed knob; the reference has no
+    decode path at all, SURVEY §0)."""
+    if sel_group == 1:
+        (ks_all, vs_all, c_scr,
+         sem_l, sem_wk, sem_wv, sem_c) = scratch
+    else:
+        (ks_all, vs_all, c_scr, kstg, vstg, stg_wk, stg_wv,
+         sem_l, sem_wk, sem_wv, sem_c, sem_stg, sem_gw) = scratch
     b = pl.program_id(0)
     g = q_ref.shape[2]
     d = q_ref.shape[3]
@@ -308,20 +329,47 @@ def _rows_kernel(tables, n_tiles, pos, tile_base,                   # SMEM
     # ---- stream every (head, entry) tile range into the packed buffers:
     # entry (h, t) owns lane slice [(h*t_max + t)*ps, ...+ps) with its tps
     # consecutive tiles stacked on axis 2
-    copies = []
-    for h in range(kv):
-        for t in range(t_max):
-            tid = jnp.maximum(tables[b, h, t], 0)
-            lane0 = (h * t_max + t) * ps
+    if sel_group == 1:
+        copies = []
+        for h in range(kv):
+            for t in range(t_max):
+                tid = jnp.maximum(tables[b, h, t], 0)
+                lane0 = (h * t_max + t) * ps
+                ck = pltpu.make_async_copy(
+                    k_ref.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, tps)],
+                    ks_all.at[:, :, :, :, pl.ds(lane0, ps)], sem_l)
+                cv = pltpu.make_async_copy(
+                    v_ref.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, tps)],
+                    vs_all.at[:, :, :, :, pl.ds(lane0, ps)], sem_l)
+                ck.start()
+                cv.start()
+                copies.append((ck, cv))
+    else:
+        # grouped mode: one DMA per table entry covers sel_group heads;
+        # NSTG-deep staging overlaps the next DMA with redistribution
+        n_tab = kv // sel_group
+        entries = [(hg, t) for hg in range(n_tab) for t in range(t_max)]
+
+        def stg_copy(i):
+            hg, t = entries[i]
+            slot = i % NBUF
+            tid = jnp.maximum(tables[b, hg, t], 0)
+            h0 = hg * sel_group
             ck = pltpu.make_async_copy(
-                k_ref.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, tps)],
-                ks_all.at[:, :, :, :, pl.ds(lane0, ps)], sem_l)
+                k_ref.at[pl.ds(b, 1), pl.ds(h0, sel_group),
+                         pl.ds(tid, tps)],
+                kstg.at[pl.ds(slot, 1)], sem_stg.at[slot])
             cv = pltpu.make_async_copy(
-                v_ref.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, tps)],
-                vs_all.at[:, :, :, :, pl.ds(lane0, ps)], sem_l)
-            ck.start()
-            cv.start()
-            copies.append((ck, cv))
+                v_ref.at[pl.ds(b, 1), pl.ds(h0, sel_group),
+                         pl.ds(tid, tps)],
+                vstg.at[pl.ds(slot, 1)], sem_stg.at[slot])
+            return ck, cv
+
+        live = {}
+        for i in range(min(NBUF, len(entries))):
+            live[i] = stg_copy(i)
+            live[i][0].start()
+            live[i][1].start()
 
     # ---- codes slab: read-merge-write [KV, 1, n_sub, ps] at the write
     # tile (codes are not read by the attention math)
@@ -337,9 +385,28 @@ def _rows_kernel(tables, n_tiles, pos, tile_base,                   # SMEM
             c_scr, c_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_c)
         wc.start()
 
-    for ck, cv in copies:
-        ck.wait()
-        cv.wait()
+    if sel_group == 1:
+        for ck, cv in copies:
+            ck.wait()
+            cv.wait()
+    else:
+        for i, (hg, t) in enumerate(entries):
+            ck, cv = live.pop(i)
+            ck.wait()
+            cv.wait()
+            slot = i % NBUF
+            for hr in range(sel_group):
+                h = hg * sel_group + hr
+                lane0 = (h * t_max + t) * ps
+                ks_all[:, :, :, :, pl.ds(lane0, ps)] = \
+                    kstg[slot, hr][None, None]
+                vs_all[:, :, :, :, pl.ds(lane0, ps)] = \
+                    vstg[slot, hr][None, None]
+            nxt = i + NBUF
+            if nxt < len(entries):
+                live[nxt] = stg_copy(nxt)
+                live[nxt][0].start()
+                live[nxt][1].start()
 
     # ---- merge the new token's K/V columns (per head, in VMEM), then
     # write the merged write-tile back to HBM
@@ -355,16 +422,31 @@ def _rows_kernel(tables, n_tiles, pos, tile_base,                   # SMEM
             sel, kn, ks_all[:, :, :, :, pl.ds(off, ps)])
         vs_all[:, :, :, :, pl.ds(off, ps)] = jnp.where(
             sel, vn, vs_all[:, :, :, :, pl.ds(off, ps)])
-        wk = pltpu.make_async_copy(
-            ks_all.at[:, :, pl.ds(u_w, 1), :, pl.ds(off, ps)],
-            k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
-            sem_wk.at[h])
-        wv = pltpu.make_async_copy(
-            vs_all.at[:, :, pl.ds(u_w, 1), :, pl.ds(off, ps)],
-            v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
-            sem_wv.at[h])
-        wk.start()
-        wv.start()
+        if sel_group == 1:
+            wk = pltpu.make_async_copy(
+                ks_all.at[:, :, pl.ds(u_w, 1), :, pl.ds(off, ps)],
+                k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+                sem_wk.at[h])
+            wv = pltpu.make_async_copy(
+                vs_all.at[:, :, pl.ds(u_w, 1), :, pl.ds(off, ps)],
+                v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+                sem_wv.at[h])
+            wk.start()
+            wv.start()
+        else:
+            # stage the merged write-tile column block; ONE grouped
+            # write-back for all heads after the loop
+            stg_wk[:, pl.ds(h, 1)] = ks_all[:, :, pl.ds(u_w, 1), :,
+                                            pl.ds(off, ps)]
+            stg_wv[:, pl.ds(h, 1)] = vs_all[:, :, pl.ds(u_w, 1), :,
+                                            pl.ds(off, ps)]
+    if sel_group > 1:
+        gwk = pltpu.make_async_copy(
+            stg_wk, k_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_gw)
+        gwv = pltpu.make_async_copy(
+            stg_wv, v_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_gw)
+        gwk.start()
+        gwv.start()
 
     # ---- attention: per sub-tile u one fat [KV*G, D] x [D, L] matmul;
     # softmax statistics shared across the tps sub-score blocks
@@ -376,7 +458,11 @@ def _rows_kernel(tables, n_tiles, pos, tile_base,                   # SMEM
     # vectorized per-lane table metadata (tables also arrive as a VMEM
     # tensor so the validity mask is pure vector math, not an unrolled
     # scalar loop — compile time and scalar-core work both collapse)
-    tv = tabv_ref[0]                                      # [KV, t_max]
+    tv = tabv_ref[0]                        # [KV/sel_group, t_max]
+    if sel_group > 1:
+        tv = jnp.broadcast_to(tv[:, None],
+                              (kv // sel_group, sel_group, t_max)
+                              ).reshape(kv, t_max)
     tid_lane = jnp.broadcast_to(tv[:, :, None],
                                 (kv, t_max, ps)).reshape(1, ltot)
     e_lane = lane_i[:1] // ps
@@ -417,15 +503,23 @@ def _rows_kernel(tables, n_tiles, pos, tile_base,                   # SMEM
         pltpu.make_async_copy(
             c_scr, c_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)],
             sem_c).wait()
-    for h in range(kv):
+    if sel_group == 1:
+        for h in range(kv):
+            pltpu.make_async_copy(
+                ks_all.at[:, :, pl.ds(0, 1), :, pl.ds(0, ps)],
+                k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+                sem_wk.at[h]).wait()
+            pltpu.make_async_copy(
+                vs_all.at[:, :, pl.ds(0, 1), :, pl.ds(0, ps)],
+                v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+                sem_wv.at[h]).wait()
+    else:
         pltpu.make_async_copy(
-            ks_all.at[:, :, pl.ds(0, 1), :, pl.ds(0, ps)],
-            k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
-            sem_wk.at[h]).wait()
+            stg_wk, k_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)],
+            sem_gw).wait()
         pltpu.make_async_copy(
-            vs_all.at[:, :, pl.ds(0, 1), :, pl.ds(0, ps)],
-            v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
-            sem_wv.at[h]).wait()
+            stg_wv, v_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)],
+            sem_gw).wait()
 
 
 @functools.partial(
@@ -439,9 +533,12 @@ def decode_attention_rows(q, k_cache, v_cache, c_cache, tables, n_tiles,
     """Contiguous tile-major cache decode attention + in-place append.
 
     q [B, KV, G, D]; caches tile-major [B, KV, NT, D, ps] (ps tokens per
-    tile) / codes [B, KV, NT, n_sub, ps]; tables [B, KV, T] int32 tile
-    ids — iteration j covers tiles [tid, tid+tps) (use tps>1 with stride-
-    tps dense tables for fat DMAs); -1 entries are padding (fully masked).
+    tile) / codes [B, KV, NT, n_sub, ps]; tables [B, N_TAB, T] int32 tile
+    ids — N_TAB == KV for per-head tables; N_TAB < KV makes each table
+    row serve KV/N_TAB consecutive heads with grouped DMAs (one per
+    entry; see _rows_kernel sel_group). Iteration j covers tiles
+    [tid, tid+tps) (use tps>1 with stride-tps dense tables for fat
+    DMAs); -1 entries are padding (fully masked).
     Per head, the LAST entry's range must contain pos//ps (the write
     tile). n_tiles [B] = table entries per head; pos [B] = cache lengths.
     k_new/v_new [B, KV, D]; c_new [B, KV, n_sub]. Returns
@@ -452,6 +549,9 @@ def decode_attention_rows(q, k_cache, v_cache, c_cache, tables, n_tiles,
     b, kv, g, d = q.shape
     n_sub = c_cache.shape[3]
     t_max = tables.shape[2]
+    n_tab = tables.shape[1]        # rows < kv => grouped head selection
+    assert kv % n_tab == 0, (kv, n_tab)
+    sel_group = kv // n_tab
     write_codes = n_sub > 1
     vmem_mb = 2 * kv * t_max * tps * ps * d * k_cache.dtype.itemsize / 2**20
     assert vmem_mb < 12, (
@@ -459,6 +559,29 @@ def decode_attention_rows(q, k_cache, v_cache, c_cache, tables, n_tiles,
         f'table width (t_max), tps, or split kv heads across calls')
     if tile_base is None:
         tile_base = jnp.zeros((b,), jnp.int32)
+    scratch = [
+        pltpu.VMEM((1, 1, tps, d, kv * t_max * ps), k_cache.dtype),
+        pltpu.VMEM((1, 1, tps, d, kv * t_max * ps), v_cache.dtype),
+        pltpu.VMEM((1, kv, 1, n_sub, ps), c_cache.dtype),
+    ]
+    if sel_group > 1:
+        scratch += [
+            pltpu.VMEM((NBUF, sel_group, tps, d, ps), k_cache.dtype),
+            pltpu.VMEM((NBUF, sel_group, tps, d, ps), v_cache.dtype),
+            pltpu.VMEM((1, kv, 1, d, ps), k_cache.dtype),
+            pltpu.VMEM((1, kv, 1, d, ps), v_cache.dtype),
+        ]
+    scratch += [
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((kv,)),
+        pltpu.SemaphoreType.DMA((kv,)),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if sel_group > 1:
+        scratch += [
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA(()),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b,),
@@ -470,7 +593,7 @@ def decode_attention_rows(q, k_cache, v_cache, c_cache, tables, n_tiles,
             pl.BlockSpec((1, kv, d, 1), lambda i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((1, kv, d, 1), lambda i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((1, kv, n_sub, 1), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, kv, t_max), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, n_tab, t_max), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, kv, g, d), lambda i, *_: (i, 0, 0, 0)),
@@ -478,19 +601,12 @@ def decode_attention_rows(q, k_cache, v_cache, c_cache, tables, n_tiles,
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((1, 1, tps, d, kv * t_max * ps), k_cache.dtype),
-            pltpu.VMEM((1, 1, tps, d, kv * t_max * ps), v_cache.dtype),
-            pltpu.VMEM((1, kv, 1, n_sub, ps), c_cache.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((kv,)),
-            pltpu.SemaphoreType.DMA((kv,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(_rows_kernel, ps=ps, tps=tps, t_max=t_max,
-                               scale=scale,
-                               clamp=clamp, write_codes=write_codes, kv=kv)
+                               scale=scale, clamp=clamp,
+                               write_codes=write_codes, kv=kv,
+                               sel_group=sel_group)
     o, k2, v2, c2 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -504,7 +620,9 @@ def decode_attention_rows(q, k_cache, v_cache, c_cache, tables, n_tiles,
         # c_cache=7, k_new=8, v_new=9, c_new=10, tables(vmem)=11
         input_output_aliases={5: 1, 6: 2, 7: 3},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary',)),
+            # each program reads/writes only its own slot's tiles =>
+            # megacore may split the batch grid across TensorCores
+            dimension_semantics=('parallel',)),
         interpret=interpret,
     )(tables, n_tiles, pos, tile_base, q, k_cache, v_cache, c_cache,
       k_new[..., None], v_new[..., None], c_new[..., None], tables)
@@ -819,7 +937,9 @@ def decode_attention_rows_q(q, k_cache, v_cache, c_cache, k_scale, v_scale,
         # kscale_new=13, vscale_new=14, tables(vmem)=15
         input_output_aliases={5: 1, 6: 2, 7: 3, 8: 4, 9: 5},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary',)),
+            # each program reads/writes only its own slot's tiles =>
+            # megacore may split the batch grid across TensorCores
+            dimension_semantics=('parallel',)),
         interpret=interpret,
     )(tables, n_tiles, pos, tile_base, q, k_cache, v_cache, c_cache,
       k_scale, v_scale, k_new[..., None], v_new[..., None],
@@ -868,8 +988,11 @@ def decode_attention_rows_ref(q, k_cache, v_cache, c_cache, tables,
                               ps: int = 128, tps: int = 1,
                               scale: float = 1.0, clamp: float = 0.0):
     """jnp oracle for decode_attention_rows (same argument contract).
-    Caches tile-major [B, KV, NT, D, ps]."""
+    Caches tile-major [B, KV, NT, D, ps]. Grouped tables ([B, N_TAB < KV,
+    T]) are expanded to per-head."""
     b, kv, g, d = q.shape
+    if tables.shape[1] != kv:
+        tables = jnp.repeat(tables, kv // tables.shape[1], axis=1)
     nt_all = k_cache.shape[2]
     if tile_base is None:
         tile_base = jnp.zeros((b,), jnp.int32)

@@ -175,3 +175,77 @@ def test_rows_ref_matches_direct_softmax():
             p /= p.sum()
             np.testing.assert_allclose(np.asarray(o[i, h, 0]), p @ vv,
                                        atol=1e-5)
+
+
+def test_rows_kernel_grouped_tables():
+    """Grouped head selection (tables [B, N_TAB < KV, T]): one DMA per
+    entry covers sel_group heads; output must equal the per-head oracle
+    with the tables expanded."""
+    import numpy as np
+    from spt_proto_tpu.ops.pallas.decode_attention import (
+        decode_attention_rows, decode_attention_rows_ref)
+    b, kv, g, d, nt, t_max = 2, 4, 2, 64, 6, 3
+    ps = 128
+    r = np.random.RandomState(5)
+    kc = jnp.asarray(r.randn(b, kv, nt, d, ps), jnp.float32)
+    vc = jnp.asarray(r.randn(b, kv, nt, d, ps), jnp.float32)
+    cc = jnp.zeros((b, kv, nt, 1, ps), jnp.int32)
+    q = jnp.asarray(r.randn(b, kv, g, d), jnp.float32)
+    k_new = jnp.asarray(r.randn(b, kv, d), jnp.float32)
+    v_new = jnp.asarray(r.randn(b, kv, d), jnp.float32)
+    c_new = jnp.zeros((b, kv, 1), jnp.int32)
+    pos = jnp.asarray([300, 500], jnp.int32)
+    cur = pos // ps
+    e = jnp.arange(t_max)[None]
+    n_tiles = jnp.minimum(cur + 1, t_max)
+    start = jnp.maximum(0, cur - (n_tiles - 1))
+    tab1 = jnp.where(e < n_tiles[:, None], start[:, None] + e, -1)
+    for n_tab in (1, 2):  # fully shared / pairs of heads
+        tables = jnp.broadcast_to(tab1[:, None], (b, n_tab, t_max)
+                                  ).astype(jnp.int32)
+        got = decode_attention_rows(q, kc, vc, cc, tables, n_tiles, pos,
+                                    k_new, v_new, c_new, ps=ps, tps=1,
+                                    scale=0.125, interpret=True)
+        want = decode_attention_rows_ref(q, kc, vc, cc, tables, n_tiles,
+                                         pos, k_new, v_new, c_new,
+                                         ps=ps, tps=1, scale=0.125)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                                   atol=2e-5, rtol=1e-5, err_msg=str(n_tab))
+        np.testing.assert_array_equal(np.asarray(got[1]),
+                                      np.asarray(want[1]))
+
+
+def test_decode_sparse_select_heads_end_to_end():
+    """cfg.sparse_select_heads pools tile selection across head groups;
+    decode still runs and attends over valid context."""
+    import numpy as np
+    from spt_proto_tpu.config import tiny_config
+    from spt_proto_tpu.inference.engine import (KVCache, decode_step,
+                                                prefill)
+    from spt_proto_tpu.inference.weights import InferenceWeights
+    from spt_proto_tpu.tuning import surgery
+    cfg = tiny_config('opt', vocab_size=128, n_layers=2, max_length=512)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    cfg, params = surgery.upgrade(cfg, params, 'mha_v1',
+                                  jax.random.PRNGKey(1))
+    cfg, params = surgery.upgrade(cfg, params, 'mha_v2',
+                                  jax.random.PRNGKey(2))
+    prompts = jnp.asarray(
+        np.random.RandomState(0).randint(1, cfg.vocab_size, (2, 300)),
+        jnp.int32)
+    outs = {}
+    for gsel in (1, cfg.kv_heads):
+        c = cfg.replace(sparse_select_heads=gsel)
+        c.validate()
+        iw = InferenceWeights.from_params(c, params)
+        cache = KVCache.create(c, 2, 512, dtype=c.dtype)
+        lg, cache = jax.jit(prefill)(iw, prompts, cache)
+        tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+        lg2, cache = jax.jit(decode_step)(iw, tok, cache)
+        outs[gsel] = np.asarray(lg2, np.float32)
+        assert np.all(np.isfinite(outs[gsel]))
+    # pooled selection changes which tiles are read => logits differ but
+    # stay in the same ballpark (same softmax family over a subset)
+    a, b_ = outs[1], outs[cfg.kv_heads]
+    na = np.linalg.norm(a - b_) / np.linalg.norm(a)
+    assert na < 1.0, na
