@@ -199,9 +199,7 @@ class ContinuousBatchingEngine:
                 f'prefill_chunk must be a multiple of {TILE}'
         self.chunk = prefill_chunk
         # int8 KV cache (per-token scales): halves cache bytes => double
-        # the slots a chip can hold. Contiguous cache only.
-        assert not (paged and quantized_kv), \
-            'int8 KV is wired for the contiguous cache only'
+        # the slots (or pages) a chip can hold
         self.quantized_kv = quantized_kv
         self._chunking: Dict[int, dict] = {}   # slot -> chunked-prefill state
         self.last_step_prefill_tokens = 0      # jitter observability
@@ -218,7 +216,8 @@ class ContinuousBatchingEngine:
             self.alloc = PageAllocator(n_pages, n_slots)
             self.cache = PagedKVCache.create(iw.cfg, n_slots, n_pages,
                                              page_size, max_len,
-                                             dtype=iw.cfg.dtype)
+                                             dtype=iw.cfg.dtype,
+                                             quantized=quantized_kv)
             self._prefill_fn = jax.jit(paged_prefill)
             self._decode_fn = functools.partial(
                 _paged_decode_and_sample, temperature=temperature)
@@ -308,13 +307,16 @@ class ContinuousBatchingEngine:
             pi = self.cache.page_indices.at[slot].set(jnp.asarray(table))
             mini = PagedKVCache(self.cache.k_pages, self.cache.v_pages,
                                 self.cache.c_pages, pi[slot][None],
-                                jnp.zeros((1,), jnp.int32))
+                                jnp.zeros((1,), jnp.int32),
+                                k_scales=self.cache.k_scales,
+                                v_scales=self.cache.v_scales)
             logits, mini = self._prefill_fn(self.iw, jnp.asarray(padded),
                                             mini)
             self.cache = PagedKVCache(
                 k_pages=mini.k_pages, v_pages=mini.v_pages,
                 c_pages=mini.c_pages, page_indices=pi,
-                length=self.cache.length.at[slot].set(s))
+                length=self.cache.length.at[slot].set(s),
+                k_scales=mini.k_scales, v_scales=mini.v_scales)
         else:
             if self.chunk and s > self.chunk:
                 # chunked path: stash the prompt, process chunks one per

@@ -46,10 +46,15 @@ class PagedKVCache:
     c_pages: jax.Array       # [KV, L*n_pages + 1, page_size, n_sub] int32
     page_indices: jax.Array  # [B, pages_per_seq] int32 LOGICAL, -1 = none
     length: jax.Array        # [B] int32
+    # int8 mode: per-token scales in the stock paged-attention
+    # QuantizedTensor layout (trailing head dim reduced); None = bf16
+    k_scales: Optional[jax.Array] = None   # [KV, L*n_pages+1, ps, 1] f32
+    v_scales: Optional[jax.Array] = None   # [KV, L*n_pages+1, ps, 1] f32
 
     @staticmethod
     def create(cfg: ModelConfig, batch: int, n_pages: int, page_size: int,
-               max_len: int, dtype=jnp.bfloat16) -> 'PagedKVCache':
+               max_len: int, dtype=jnp.bfloat16,
+               quantized: bool = False) -> 'PagedKVCache':
         """Allocates L*n_pages + 1 physical pages: the last is a reserved
         write sink — decode writes from slots with no page table (-1
         entries, e.g. released continuous-batching lanes) land there
@@ -57,13 +62,27 @@ class PagedKVCache:
         l, h, d = cfg.n_layers, cfg.kv_heads, cfg.d_head
         n_sub = cfg.n_subspaces if cfg.attention == ATTN_SPARSE_V2 else 1
         pps = -(-max_len // page_size)
+        kv_dtype = jnp.int8 if quantized else dtype
+        scales = dict()
+        if quantized:
+            scales = dict(
+                k_scales=jnp.zeros((h, l * n_pages + 1, page_size, 1),
+                                   jnp.float32),
+                v_scales=jnp.zeros((h, l * n_pages + 1, page_size, 1),
+                                   jnp.float32))
         return PagedKVCache(
-            k_pages=jnp.zeros((h, l * n_pages + 1, page_size, d), dtype),
-            v_pages=jnp.zeros((h, l * n_pages + 1, page_size, d), dtype),
+            k_pages=jnp.zeros((h, l * n_pages + 1, page_size, d),
+                              kv_dtype),
+            v_pages=jnp.zeros((h, l * n_pages + 1, page_size, d),
+                              kv_dtype),
             c_pages=jnp.zeros((h, l * n_pages + 1, page_size, n_sub),
                               jnp.int32),
             page_indices=jnp.full((batch, pps), -1, jnp.int32),
-            length=jnp.zeros((batch,), jnp.int32))
+            length=jnp.zeros((batch,), jnp.int32), **scales)
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scales is not None
 
     @property
     def page_size(self) -> int:
@@ -126,6 +145,22 @@ class PageAllocator:
         self._lib.pages_release(self._pool, slot)
 
 
+MAX_INT8 = 127.5   # stock paged-attention QuantizedTensor convention
+
+
+def _quantize_pages(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[..., D] -> (int8 [..., D], scales [..., 1]), matching
+    jax.experimental paged_attention quantization_utils (x*127.5/h)."""
+    h = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                            keepdims=True), 1e-8)
+    q = jnp.int8(jnp.rint(x.astype(jnp.float32) * (MAX_INT8 / h)))
+    return q, h
+
+
+def _dequantize_pages(q: jax.Array, h: jax.Array, dtype) -> jax.Array:
+    return (q.astype(jnp.float32) * h / MAX_INT8).astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # paged attention (decode)
 # ---------------------------------------------------------------------------
@@ -159,15 +194,18 @@ def paged_attention_ref(q: jax.Array, k_pages: jax.Array,
 
 
 def paged_attention_op(q, k_pages, v_pages, lengths, page_indices, *,
-                       scale: float) -> jax.Array:
+                       scale: float, k_scales=None,
+                       v_scales=None) -> jax.Array:
     """Stock Pallas paged-attention kernel on TPU, jnp oracle elsewhere.
-    `page_indices` must be PHYSICAL page ids.
+    `page_indices` must be PHYSICAL page ids. With k_scales/v_scales the
+    pages are int8 and ride the stock kernel's QuantizedTensor path.
 
     The stock kernel needs head_dim aligned to 128 lanes; smaller head dims
     are zero-padded (zeros change neither scores nor outputs)."""
+    quant = k_scales is not None
     if jax.default_backend() == 'tpu':
         from jax.experimental.pallas.ops.tpu.paged_attention import (
-            paged_attention)
+            paged_attention, quantization_utils)
         d = q.shape[-1]
         pad = (-d) % 128
         if pad:
@@ -176,6 +214,9 @@ def paged_attention_op(q, k_pages, v_pages, lengths, page_indices, *,
             q = jnp.pad(q, widths3)
             k_pages = jnp.pad(k_pages, widths4)
             v_pages = jnp.pad(v_pages, widths4)
+        if quant:
+            k_pages = quantization_utils.QuantizedTensor(k_pages, k_scales)
+            v_pages = quantization_utils.QuantizedTensor(v_pages, v_scales)
         # the stock kernel requires pages_per_sequence % block == 0: pick
         # the largest divisor of pps that is <= 8
         pps = page_indices.shape[1]
@@ -185,13 +226,17 @@ def paged_attention_op(q, k_pages, v_pages, lengths, page_indices, *,
             jnp.maximum(page_indices, 0),
             pages_per_compute_block=block)
         return out[..., :d]
+    if quant:
+        k_pages = _dequantize_pages(k_pages, k_scales, q.dtype)
+        v_pages = _dequantize_pages(v_pages, v_scales, q.dtype)
     return paged_attention_ref(q, k_pages, v_pages, lengths, page_indices,
                                scale=scale)
 
 
 def paged_sparse_attention(qg, codes_q, k_pages, v_pages, c_pages, lengths,
                            phys_indices, page_indices, *, scale: float,
-                           clamp: float, sparse_coeff: int) -> jax.Array:
+                           clamp: float, sparse_coeff: int,
+                           k_scales=None, v_scales=None) -> jax.Array:
     """PQ page-sparse decode attention: pages are the selection tiles.
 
     qg [B, KV, G, D]; codes_q [B, KV, G, n_sub]; pools [KV, P, ps, ...];
@@ -234,6 +279,11 @@ def paged_sparse_attention(qg, codes_q, k_pages, v_pages, c_pages, lengths,
     hidx = jnp.arange(kv)[:, None, None, None]
     kg = k_pages[hidx, sel_phys.transpose(1, 0, 2, 3)]     # [KV,B,G,ns,ps,D]
     vg = v_pages[hidx, sel_phys.transpose(1, 0, 2, 3)]
+    if k_scales is not None:
+        ksg = k_scales[hidx, sel_phys.transpose(1, 0, 2, 3)]
+        vsg = v_scales[hidx, sel_phys.transpose(1, 0, 2, 3)]
+        kg = _dequantize_pages(kg, ksg, qg.dtype)
+        vg = _dequantize_pages(vg, vsg, qg.dtype)
     kg = kg.transpose(1, 0, 2, 3, 4, 5)                    # [B,KV,G,ns,ps,D]
     vg = vg.transpose(1, 0, 2, 3, 4, 5)
     colpos = sel_logical[..., None] * ps + jnp.arange(ps)  # [B,KV,G,ns,ps]
@@ -262,7 +312,7 @@ def paged_prefill(iw: InferenceWeights, tokens: jax.Array,
     b, s = tokens.shape
     ps = cache.page_size
     n_log = cache.n_logical(cfg.n_layers)
-    tmp = KVCache.create(cfg, b, s, dtype=cache.k_pages.dtype)
+    tmp = KVCache.create(cfg, b, s, dtype=cfg.dtype)
     logits, tmp = prefill(iw, tokens, tmp)
     # tmp is layer-folded tile-major [B, KV, L*NTm, w, T]; unfold to
     # [L, B, KV, S, w] then scatter into merged pools [KV, L*N+1, ps, .]
@@ -286,10 +336,17 @@ def paged_prefill(iw: InferenceWeights, tokens: jax.Array,
     logical = jnp.maximum(cache.page_indices[:, :pps_used], 0)  # [B, pps]
     phys = (jnp.arange(l)[:, None, None] * n_log
             + logical[None]).reshape(-1)               # [L*B*pps]
-    k_pages = cache.k_pages.at[:, phys].set(
-        to_pages(to_std(tmp.k, cfg.d_head)))
-    v_pages = cache.v_pages.at[:, phys].set(
-        to_pages(to_std(tmp.v, cfg.d_head)))
+    k_std = to_std(tmp.k, cfg.d_head)
+    v_std = to_std(tmp.v, cfg.d_head)
+    scales = dict()
+    if cache.quantized:
+        k_std, ksc = _quantize_pages(k_std)
+        v_std, vsc = _quantize_pages(v_std)
+        scales = dict(
+            k_scales=cache.k_scales.at[:, phys].set(to_pages(ksc)),
+            v_scales=cache.v_scales.at[:, phys].set(to_pages(vsc)))
+    k_pages = cache.k_pages.at[:, phys].set(to_pages(k_std))
+    v_pages = cache.v_pages.at[:, phys].set(to_pages(v_std))
     c_pages = cache.c_pages
     if cfg.attention == ATTN_SPARSE_V2:
         c_pages = c_pages.at[:, phys].set(
@@ -298,7 +355,7 @@ def paged_prefill(iw: InferenceWeights, tokens: jax.Array,
     return logits, PagedKVCache(
         k_pages=k_pages, v_pages=v_pages, c_pages=c_pages,
         page_indices=cache.page_indices,
-        length=jnp.full_like(cache.length, s))
+        length=jnp.full_like(cache.length, s), **scales)
 
 
 def paged_decode_step(iw: InferenceWeights, tokens: jax.Array,
@@ -332,7 +389,7 @@ def paged_decode_step(iw: InferenceWeights, tokens: jax.Array,
     hidx = jnp.arange(kv)[:, None]
 
     def layer(carry, inp):
-        x, k_pages, v_pages, c_pages = carry
+        x, k_pages, v_pages, c_pages, k_scales, v_scales = carry
         bp, lix = inp
         hn = _norm(cfg, bp['norm1'], x)
         q = _dense(bp['mha']['q'], hn)
@@ -348,10 +405,21 @@ def paged_decode_step(iw: InferenceWeights, tokens: jax.Array,
                               cfg.rope_base)[:, :, 0]
         write_page = jnp.where(page_of >= 0, lix * n_log + page_of, sink)
         # small in-place column scatters (pools are loop carry)
+        if cache.quantized:
+            k_w, ksc_w = _quantize_pages(k)        # [B,KV,D] + [B,KV,1]
+            v_w, vsc_w = _quantize_pages(v)
+            k_scales = k_scales.at[
+                hidx, write_page[None, :], slot_in_page].set(
+                    ksc_w.transpose(1, 0, 2))
+            v_scales = v_scales.at[
+                hidx, write_page[None, :], slot_in_page].set(
+                    vsc_w.transpose(1, 0, 2))
+        else:
+            k_w, v_w = k, v
         k_pages = k_pages.at[hidx, write_page[None, :], slot_in_page].set(
-            k.transpose(1, 0, 2).astype(k_pages.dtype))
+            k_w.transpose(1, 0, 2).astype(k_pages.dtype))
         v_pages = v_pages.at[hidx, write_page[None, :], slot_in_page].set(
-            v.transpose(1, 0, 2).astype(v_pages.dtype))
+            v_w.transpose(1, 0, 2).astype(v_pages.dtype))
         phys_idx = jnp.where(cache.page_indices >= 0,
                              lix * n_log + cache.page_indices, sink)
         if sparse:
@@ -366,22 +434,26 @@ def paged_decode_step(iw: InferenceWeights, tokens: jax.Array,
             o = paged_sparse_attention(
                 qg, codes_q, k_pages, v_pages, c_pages, pos + 1,
                 phys_idx, cache.page_indices, scale=scale,
-                clamp=cfg.score_clamp, sparse_coeff=cfg.sparse_coeff)
+                clamp=cfg.score_clamp, sparse_coeff=cfg.sparse_coeff,
+                k_scales=k_scales, v_scales=v_scales)
             o = o.reshape(b, cfg.n_heads, cfg.d_head)
         else:
             o = paged_attention_op(q, k_pages, v_pages, pos + 1,
-                                   phys_idx, scale=scale)
+                                   phys_idx, scale=scale,
+                                   k_scales=k_scales, v_scales=v_scales)
         o = o.reshape(b, 1, cfg.d_model)
         x = x + _dense(bp['mha']['o'], o)
         x = x + _ffn(cfg, bp['ffn'], _norm(cfg, bp['norm2'], x))
-        return (x, k_pages, v_pages, c_pages), ()
+        return (x, k_pages, v_pages, c_pages, k_scales, v_scales), ()
 
-    (x, k_pages, v_pages, c_pages), _ = jax.lax.scan(
-        layer, (x, cache.k_pages, cache.v_pages, cache.c_pages),
+    (x, k_pages, v_pages, c_pages, k_scales, v_scales), _ = jax.lax.scan(
+        layer, (x, cache.k_pages, cache.v_pages, cache.c_pages,
+                cache.k_scales, cache.v_scales),
         (p['blocks'], jnp.arange(cfg.n_layers)))
     cache = PagedKVCache(k_pages=k_pages, v_pages=v_pages, c_pages=c_pages,
                          page_indices=cache.page_indices,
-                         length=cache.length + 1)
+                         length=cache.length + 1,
+                         k_scales=k_scales, v_scales=v_scales)
     x = _norm(cfg, p['final_norm'], x)
     logits = _dense(p['lm_head'], x[:, 0])
     return logits, cache

@@ -216,3 +216,56 @@ def test_chunked_quantized_in_engine():
     completions = eng.run_until_done()
     assert len(completions) == 2
     assert all(len(c.tokens) == 4 for c in completions)
+
+
+def test_paged_quantized_decode_tracks_bf16():
+    """Paged int8 pools: prefill + decode logits track the bf16 paged
+    cache within quantization error (dense and sparse page selection)."""
+    from spt_proto_tpu.inference.paged import (PageAllocator, PagedKVCache,
+                                               paged_decode_step,
+                                               paged_prefill)
+    for attention in ('dense', 'sparse_v2'):
+        cfg, iw = _setup_model(attention)
+        b, s, ps = 2, 160, 64
+        n_pages = 2 * (-(-256 // ps))
+        prompts = jnp.asarray(
+            np.random.RandomState(0).randint(1, cfg.vocab_size, (b, s)),
+            jnp.int32)
+        dec = {}
+        for quant in (False, True):
+            alloc = PageAllocator(n_pages, b)
+            cache = PagedKVCache.create(cfg, b, n_pages, ps, 256,
+                                        dtype=cfg.dtype, quantized=quant)
+            rows = []
+            for slot in range(b):
+                alloc.ensure(slot, 256, ps)
+                rows.append(alloc.table(slot, cache.page_indices.shape[1]))
+            cache = dataclasses.replace(
+                cache, page_indices=jnp.asarray(np.stack(rows), jnp.int32))
+            lg, cache = jax.jit(paged_prefill)(iw, prompts, cache)
+            tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+            d, cache = jax.jit(paged_decode_step)(iw, tok, cache)
+            dec[quant] = np.asarray(d, np.float32)
+            assert np.all(np.isfinite(dec[quant]))
+        err = (np.linalg.norm(dec[True] - dec[False])
+               / np.linalg.norm(dec[False]))
+        assert err < 0.05, (attention, err)
+
+
+def test_paged_engine_quantized():
+    """Continuous batching over paged int8 pools completes requests."""
+    from spt_proto_tpu.inference.batching import ContinuousBatchingEngine
+
+    cfg = tiny_config('opt').replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    rng = np.random.RandomState(2)
+    prompts = [list(rng.randint(1, cfg.vocab_size, size=n))
+               for n in (5, 9, 3)]
+    eng = ContinuousBatchingEngine(iw, n_slots=2, max_len=64,
+                                   prefill_bucket=16, paged=True,
+                                   page_size=16, quantized_kv=True)
+    rids = [eng.submit(p, max_new_tokens=4) for p in prompts]
+    completions = eng.run_until_done()
+    assert len(completions) == 3
+    assert all(len(c.tokens) == 4 for c in completions)
