@@ -66,6 +66,10 @@ def _bench_decode(cfg, params, batch: int, prompt_len: int, max_len: int,
                            quantized=quantized_kv)
     logits, cache = jax.jit(prefill)(iw, prompts, cache)
 
+    # NOTE: discarding the final cache leaves the scan carry un-donatable
+    # and XLA keeps a second cache-sized temp buffer (~612 MB at the
+    # bench config) — harmless on a 16 GB chip, and donating here
+    # triggered TPU backend errors on the sparse path, so keep it simple
     @jax.jit
     def k_steps(iw, tok, cache):
         def body(carry, _):
