@@ -122,7 +122,16 @@ def _check_consumed(sd: Dict[str, Any]) -> None:
 
 def config_from_hf(hf_config) -> ModelConfig:
     """Derive a ModelConfig from an HF config object
-    (ref 1-convert.py:155-164)."""
+    (ref 1-convert.py:155-164).
+
+    DELIBERATE DIVERGENCE — p_dropout=0.0: reference OPT fine-tunes with
+    the checkpoint's dropout (0.1), but dropout inside attention forces
+    the S x S-materializing path (flash kernels have no in-kernel RNG
+    here), costing the memory win that motivates the whole design, and
+    LoRA-style fine-tunes conventionally run dropout-free (the trainable
+    set is tiny; regularization pressure is minimal). Opt back in with
+    cfg.replace(p_dropout=...) — training falls back to the exact jnp
+    path, which remains correct, just S x S."""
     mt = hf_config.model_type
     if mt == 'opt':
         return ModelConfig(
