@@ -14,10 +14,13 @@ transposed ppermute runs the reverse schedule automatically (the 1F1B
 memory refinement is left to cfg.remat, which re-materializes each block).
 
 Composition: PP x DP ('data' shards the batch per pipeline) works out of
-the box. TP inside the shard_map region would need manual collectives per
-block (pjit cannot see through shard_map), so the PP step asserts
-mesh model-axis size 1 — mirror of how DeepSpeed PP composes with ZeRO-1
-but not ZeRO-3.
+the box. PP x TP works through shard_map AUTO axes: the region is manual
+only over ('data', 'pipe') (axis_names=...), every other mesh axis —
+'model' in particular — stays auto, so XLA's SPMD partitioner sees the
+block math as an ordinary pjit region and inserts the tensor-parallel
+collectives implied by the params' 'model' shardings (heads / FFN blocks
+split per sharding.py::_BLOCK_RULES) inside each pipeline stage. No
+manual per-block collectives needed — the idiomatic JAX composition.
 """
 from __future__ import annotations
 
@@ -113,4 +116,8 @@ def pipeline_blocks(block_apply: Callable[[Any, jax.Array],
         in_specs=(block_specs(block_params, pipe_axis),
                   P(data_axis, None, None)),
         out_specs=(P(data_axis, None, None), P(data_axis)),
+        # manual ONLY over (data, pipe): any other mesh axis (e.g.
+        # 'model') stays AUTO, so XLA partitions the stage body over it —
+        # this is what lets TP compose with PP (see module docstring)
+        axis_names=frozenset({data_axis, pipe_axis}),
     )(block_params, h)

@@ -261,14 +261,14 @@ def make_pp_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
     (replicated over 'pipe', sharded over 'data'). Capability addition over
     the reference, which has no pipeline mode (SURVEY §2.8).
 
-    Composes with DP ('data'); asserts TP off inside the pipe region (pjit
-    cannot auto-insert TP collectives through shard_map). Requires
-    cfg.n_layers % n_pipe == 0 and local batch % n_micro == 0. Use
-    shard_params(mesh, params, pp=True) to place the params.
+    Composes with DP ('data') AND TP ('model'): the pipelined region is
+    manual only over ('data', 'pipe'), so the 'model' axis stays auto and
+    XLA inserts the tensor-parallel collectives inside each stage from the
+    params' 'model' shardings (parallel/pipeline.py module docstring).
+    Requires cfg.n_layers % n_pipe == 0 and local batch % n_micro == 0.
+    Use shard_params(mesh, params, pp=True) to place the params (keeps the
+    'model' rules and leads with 'pipe' on the stacked-layer axis).
     """
-    assert mesh.shape.get('model', 1) == 1, \
-        'PP composes with DP; TP inside the pipeline needs manual ' \
-        'collectives — use a (data, pipe) mesh'
     from flax import linen as nn
 
     from spt_proto_tpu.layers.common import LoRAEmbed

@@ -84,6 +84,42 @@ def test_pp_sparse_model_with_aux_loss():
                                rtol=2e-5)
 
 
+def test_pp_tp_composes():
+    """PP x TP x DP on one mesh (2 data x 2 model x 2 pipe): the pipeline
+    region is manual only over (data, pipe), 'model' stays a shard_map
+    AUTO axis, so XLA partitions each stage's block math over heads/FFN
+    blocks per the params' 'model' shardings. Step must match the plain
+    single-device step, and per-device block shards must shrink by BOTH
+    the pipe and model factors."""
+    from spt_proto_tpu.parallel.mesh import make_mesh
+    from spt_proto_tpu.parallel.sharding import batch_sharding, shard_params
+    cfg, params, batch = _setup()
+    tx = make_optimizer(params)
+
+    step1 = make_train_step(cfg, tx, train_quantizer=False)
+    state1 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    state1, m1 = jax.jit(step1)(state1, batch)
+
+    mesh = make_mesh(2, 2, 1, 2)  # DP x TP x PP
+    with mesh:
+        sp = shard_params(mesh, params, pp=True)
+        # q kernel [L, d_model, d_model]: pipe on L, model on the head dim
+        qk = flatten(sp)['blocks/mha/q/kernel']
+        shard = qk.sharding.shard_shape(qk.shape)
+        assert shard[0] == qk.shape[0] // 2 and shard[2] == qk.shape[2] // 2
+        step2 = make_pp_train_step(cfg, tx, mesh, n_micro=2,
+                                   train_quantizer=False)
+        state2 = TrainState(sp, tx.init(sp), jnp.zeros((), jnp.int32))
+        sb = jax.device_put(batch, batch_sharding(mesh))
+        state2, m2 = jax.jit(step2)(state2, sb)
+    np.testing.assert_allclose(float(m1['loss']), float(m2['loss']),
+                               rtol=2e-5)
+    a = flatten(jax.device_get(state1.params))
+    b = flatten(jax.device_get(state2.params))
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], atol=3e-5, err_msg=k)
+
+
 def test_tune_cli_pipeline_mode(tmp_path, capsys):
     """tune CLI drives PP end-to-end: --mesh_pipe 2 on the 8-device
     virtual mesh (4 data x 2 pipe), full surgery pipeline."""
