@@ -54,6 +54,13 @@ class ModelConfig:
     # the per-tile DMA issue count is the measured decode floor
     # (docs/PERF.md round 2)
     sparse_select_heads: int = 1
+    # decode attention kernel: one grid program loops all batch slots
+    # with double-buffered tile staging (amortizes the measured
+    # ~10us/slot/layer kernel-entry floor and overlaps slot b+1's DMAs
+    # with slot b's math; docs/PERF.md). Auto-falls-back to the per-slot
+    # grid kernel when the doubled staging exceeds VMEM or the cache is
+    # int8-quantized (no ms twin for the quantized kernel yet).
+    decode_multislot: bool = True
     # routed FFN (ref adapter.py:163: block_size = d_ff//4 => 4 blocks)
     ffn_block_size: Optional[int] = None
     ffn_top_k: Optional[int] = None  # default: n_blocks//2

@@ -568,7 +568,8 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
     it has no GQA at all; this is the TPU-native trade.
     """
     from spt_proto_tpu.ops.pallas.decode_attention import (
-        decode_attention_rows, decode_attention_rows_q)
+        decode_attention_rows, decode_attention_rows_ms,
+        decode_attention_rows_q)
     cfg = iw.cfg
     p = iw.params
     quantized = cache.quantized
@@ -670,7 +671,15 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
                 ks_new, vs_new, base,
                 ps=TILE, tps=tps, scale=scale, clamp=clamp, nt_layer=nt)
         else:
-            o, kc, vc, cc = decode_attention_rows(
+            # multi-slot kernel when the doubled staging fits VMEM
+            # (cfg.decode_multislot; amortizes the per-slot kernel-entry
+            # floor — docs/PERF.md round 2)
+            stage_mb = (2 * 2 * kv * tables.shape[2] * tps * TILE
+                        * cfg.d_head * kc.dtype.itemsize) / 2**20
+            fn = decode_attention_rows_ms \
+                if cfg.decode_multislot and stage_mb < 11 \
+                else decode_attention_rows
+            o, kc, vc, cc = fn(
                 q4, kc, vc, cc, tables.astype(jnp.int32), n_tiles, pos,
                 k_new, v_new, c_new.astype(jnp.int32), base,
                 ps=TILE, tps=tps, scale=scale, clamp=clamp)

@@ -630,6 +630,266 @@ def decode_attention_rows(q, k_cache, v_cache, c_cache, tables, n_tiles,
 
 
 # ---------------------------------------------------------------------------
+# v3: multi-slot single-program kernel (decode-floor attack)
+# ---------------------------------------------------------------------------
+#
+# The (B,)-grid kernel pays its fixed cost (kernel entry, scalar
+# sequencing, DMA issue+drain) once PER SLOT PER LAYER — measured ~10 us
+# on v5e, which IS the decode floor at serving shapes (docs/PERF.md
+# "Decode floor investigation"). This variant runs ONE grid program that
+# loops the slots with DOUBLE-BUFFERED per-slot staging: slot b+1's tile
+# DMAs are issued before slot b's attention math runs, so the drain time
+# hides under compute, and the kernel entry is paid once per layer
+# instead of B times. Same argument contract as decode_attention_rows
+# (per-head tables; grouped tables are expanded by the wrapper). VMEM
+# cost doubles (two slot buffers) — the wrapper asserts the fit; callers
+# fall back to the grid kernel when it doesn't.
+
+def _rows_kernel_ms(tables, n_tiles, pos, tile_base,                 # SMEM
+                    q_ref, k_ref, v_ref, c_ref, kn_ref, vn_ref, cn_ref,
+                    tabv_ref,
+                    o_ref, k_out, v_out, c_out,
+                    ks_all, vs_all, c_scr,
+                    sem_l, sem_wk, sem_wv, sem_c,
+                    *, ps: int, tps: int, t_max: int, scale: float,
+                    clamp: float, write_codes: bool, kv: int, b_tot: int):
+    g = q_ref.shape[2]
+    d = q_ref.shape[3]
+    hspan = t_max * ps
+    ltot = kv * hspan
+
+    def issue_reads(b, buf):
+        cs = []
+        for h in range(kv):
+            for t in range(t_max):
+                tid = jnp.maximum(tables[b, h, t], 0)
+                lane0 = (h * t_max + t) * ps
+                ck = pltpu.make_async_copy(
+                    k_ref.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, tps)],
+                    ks_all.at[pl.ds(buf, 1), :, :, :, pl.ds(lane0, ps)],
+                    sem_l.at[buf])
+                cv = pltpu.make_async_copy(
+                    v_ref.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, tps)],
+                    vs_all.at[pl.ds(buf, 1), :, :, :, pl.ds(lane0, ps)],
+                    sem_l.at[buf])
+                ck.start()
+                cv.start()
+                cs.append((ck, cv))
+        return cs
+
+    def wb_copies(b, buf):
+        """Write-back copy descriptors for slot b (merged write tile)."""
+        n_t = n_tiles[b]
+        w_tile = tile_base[b] + pos[b] // ps
+        u_w = jax.lax.rem(w_tile, tps)
+        out = []
+        for h in range(kv):
+            off = (h * t_max + n_t - 1) * ps
+            wk = pltpu.make_async_copy(
+                ks_all.at[pl.ds(buf, 1), :, pl.ds(u_w, 1), :,
+                          pl.ds(off, ps)],
+                k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+                sem_wk.at[buf, h])
+            wv = pltpu.make_async_copy(
+                vs_all.at[pl.ds(buf, 1), :, pl.ds(u_w, 1), :,
+                          pl.ds(off, ps)],
+                v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+                sem_wv.at[buf, h])
+            out.append((wk, wv))
+        return out
+
+    live = {0: issue_reads(0, 0)}
+    wbs = {}
+    for b in range(b_tot):
+        buf = b % 2
+        n_t = n_tiles[b]
+        p_b = pos[b]
+        w_tile = tile_base[b] + p_b // ps
+        w_col = jax.lax.rem(p_b, ps)
+
+        # codes: read-merge-write this slot's write tile (single-buffered;
+        # the write drains after this slot's compute, before the next
+        # slot's read reuses c_scr)
+        wc = None
+        if write_codes:
+            rc = pltpu.make_async_copy(
+                c_ref.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], c_scr, sem_c)
+            rc.start()
+
+        # before reusing this buffer for slot b+2's reads, slot b's
+        # write-backs must drain (they source from the same buffer) —
+        # handled below: reads for b+1 were issued into buf^1 already,
+        # and b+2's reads are issued only after wbs[b] is waited.
+        for ck, cv in live.pop(b):
+            ck.wait()
+            cv.wait()
+
+        if write_codes:
+            rc.wait()
+            ccols = jax.lax.broadcasted_iota(jnp.int32, c_scr.shape, 4)
+            cn = cn_ref[pl.ds(b, 1)][:, :, None]
+            c_scr[...] = jnp.where(ccols == w_col, cn, c_scr[...])
+            wc = pltpu.make_async_copy(
+                c_scr, c_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_c)
+            wc.start()
+
+        # merge the new token's K/V column in VMEM, start write-backs
+        u_w = jax.lax.rem(w_tile, tps)
+        sub_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tps, d, ps), 2)
+        lane_i5 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tps, d, ps), 4)
+        for h in range(kv):
+            off = (h * t_max + n_t - 1) * ps
+            kn = kn_ref[pl.ds(b, 1), pl.ds(h, 1)][0]       # [D, 1]
+            vn = vn_ref[pl.ds(b, 1), pl.ds(h, 1)][0]
+            sel = (sub_i == u_w) & (lane_i5 == w_col)
+            ks_all[pl.ds(buf, 1), :, :, :, pl.ds(off, ps)] = jnp.where(
+                sel, kn, ks_all[pl.ds(buf, 1), :, :, :, pl.ds(off, ps)])
+            vs_all[pl.ds(buf, 1), :, :, :, pl.ds(off, ps)] = jnp.where(
+                sel, vn, vs_all[pl.ds(buf, 1), :, :, :, pl.ds(off, ps)])
+        wbs[b] = wb_copies(b, buf)
+        for wk, wv in wbs[b]:
+            wk.start()
+            wv.start()
+
+        # issue slot b+2's reads into this buffer ONLY after slot b's
+        # write-backs drain (same-buffer hazard); slot b+1's reads are
+        # already in flight in the other buffer
+        if b + 1 < b_tot and (b + 1) not in live:
+            live[b + 1] = issue_reads(b + 1, (b + 1) % 2)
+
+        # ---- attention math for slot b (overlaps b+1's reads)
+        q_all = q_ref[pl.ds(b, 1)][0].reshape(kv * g, d).astype(jnp.float32)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (kv * g, ltot), 1)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (kv * g, ltot), 0)
+        own = (lane_i // hspan) == (row_i // g)
+        col_in_tile = jax.lax.rem(lane_i, ps)
+        tv = tabv_ref[b]                                   # [KV, t_max]
+        tid_lane = jnp.broadcast_to(tv[:, :, None],
+                                    (kv, t_max, ps)).reshape(1, ltot)
+        e_lane = lane_i[:1] // ps
+        t_lane = jax.lax.rem(e_lane, t_max)
+        scs, oks = [], []
+        for u in range(tps):
+            sc = jax.lax.dot_general(
+                q_all, ks_all[buf, 0, u].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if clamp > 0.0:
+                sc = jnp.clip(sc, -clamp, clamp)
+            gt = tid_lane + u
+            nv = jnp.where(
+                (tid_lane < 0) | (t_lane >= n_t), 0,
+                jnp.where(gt == w_tile, w_col + 1,
+                          jnp.where(gt < w_tile, ps, 0)))
+            ok = own & (col_in_tile < nv)
+            scs.append(jnp.where(ok, sc, NEG_INF))
+            oks.append(ok)
+        m = scs[0].max(axis=-1, keepdims=True)
+        for u in range(1, tps):
+            m = jnp.maximum(m, scs[u].max(axis=-1, keepdims=True))
+        lsum = jnp.zeros_like(m)
+        pv = jnp.zeros((kv * g, d), jnp.float32)
+        for u in range(tps):
+            e = jnp.where(oks[u], jnp.exp(scs[u] - m), 0.0)
+            lsum = lsum + jnp.sum(e, axis=-1, keepdims=True)
+            v_all = vs_all[buf, 0, u]
+            pv = pv + jax.lax.dot_general(e.astype(v_all.dtype), v_all,
+                                          (((1,), (1,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+        out = pv / jnp.maximum(lsum, 1e-30)
+        o_ref[pl.ds(b, 1)] = out.reshape(1, kv, g, d).astype(o_ref.dtype)
+
+        # drain slot b's write-backs, then issue b+2's reads into buf
+        if wc is not None:
+            wc.wait()
+        for wk, wv in wbs.pop(b):
+            wk.wait()
+            wv.wait()
+        if b + 2 < b_tot:
+            live[b + 2] = issue_reads(b + 2, buf)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('ps', 'tps', 'scale', 'clamp', 'interpret'))
+def decode_attention_rows_ms(q, k_cache, v_cache, c_cache, tables, n_tiles,
+                             pos, k_new, v_new, c_new, tile_base=None, *,
+                             ps: int = 128, tps: int = 1, scale: float = 1.0,
+                             clamp: float = 0.0,
+                             interpret: Optional[bool] = None):
+    """Multi-slot twin of decode_attention_rows (same contract/semantics).
+
+    One grid program loops all B slots with double-buffered staging —
+    the per-slot kernel-entry cost is paid once per layer and slot b+1's
+    tile DMAs overlap slot b's math. Grouped tables ([B, N_TAB < KV, T])
+    are expanded to per-head here. Use when 2x the per-slot staging fits
+    VMEM (the wrapper asserts); otherwise call decode_attention_rows.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    b, kv, g, d = q.shape
+    n_sub = c_cache.shape[3]
+    t_max = tables.shape[2]
+    if tables.shape[1] != kv:
+        tables = jnp.repeat(tables, kv // tables.shape[1], axis=1)
+    write_codes = n_sub > 1
+    vmem_mb = 2 * 2 * kv * t_max * tps * ps * d * k_cache.dtype.itemsize \
+        / 2**20
+    assert vmem_mb < 11, (
+        f'double-buffered packed K/V needs {vmem_mb:.1f} MB VMEM — use '
+        f'decode_attention_rows (single-buffer grid kernel) instead')
+    if tile_base is None:
+        tile_base = jnp.zeros((b,), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((b, kv, g, d), lambda i, *_: (0, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((b, kv, d, 1), lambda i, *_: (0, 0, 0, 0)),
+            pl.BlockSpec((b, kv, d, 1), lambda i, *_: (0, 0, 0, 0)),
+            pl.BlockSpec((b, kv, n_sub, 1), lambda i, *_: (0, 0, 0, 0)),
+            pl.BlockSpec((b, kv, t_max), lambda i, *_: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, kv, g, d), lambda i, *_: (0, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, tps, d, kv * t_max * ps), k_cache.dtype),
+            pltpu.VMEM((2, 1, tps, d, kv * t_max * ps), v_cache.dtype),
+            pltpu.VMEM((1, kv, 1, n_sub, ps), c_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, kv)),
+            pltpu.SemaphoreType.DMA((2, kv)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(_rows_kernel_ms, ps=ps, tps=tps, t_max=t_max,
+                               scale=scale, clamp=clamp,
+                               write_codes=write_codes, kv=kv, b_tot=b)
+    o, k2, v2, c2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kv, g, d), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(c_cache.shape, c_cache.dtype),
+        ],
+        # flattened inputs: 4 scalars, q=4, k_cache=5, v_cache=6,
+        # c_cache=7, k_new=8, v_new=9, c_new=10, tables(vmem)=11
+        input_output_aliases={5: 1, 6: 2, 7: 3},
+        interpret=interpret,
+    )(tables, n_tiles, pos, tile_base, q, k_cache, v_cache, c_cache,
+      k_new[..., None], v_new[..., None], c_new[..., None], tables)
+    return o, k2, v2, c2
+
+
+# ---------------------------------------------------------------------------
 # int8-quantized variant of the tile-major kernel (ROADMAP 8)
 # ---------------------------------------------------------------------------
 #

@@ -149,6 +149,55 @@ def test_rows_kernel_matches_ref(mode, g):
     np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_r), atol=1e-6)
 
 
+@pytest.mark.parametrize('mode', ['dense', 'dense-tps2', 'sparse'])
+@pytest.mark.parametrize('g', [1, 2])
+def test_rows_ms_kernel_matches_ref(mode, g):
+    """Multi-slot single-program kernel == per-slot grid kernel oracle."""
+    from spt_proto_tpu.ops.pallas.decode_attention import (
+        decode_attention_rows_ms)
+    tps = 2 if mode == 'dense-tps2' else 1
+    args = _setup_rows(g=g, sparse_sel=3 if mode == 'sparse' else None,
+                       tps=tps)
+    scale = 64 ** -0.5
+    clamp = 10.0 if mode == 'sparse' else 0.0
+    o_k, k_k, v_k, c_k = decode_attention_rows_ms(
+        *args, ps=32, tps=tps, scale=scale, clamp=clamp, interpret=True)
+    o_r, k_r, v_r, c_r = decode_attention_rows_ref(
+        *args, ps=32, tps=tps, scale=scale, clamp=clamp)
+    np.testing.assert_allclose(np.asarray(o_k), np.asarray(o_r), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(c_k), np.asarray(c_r))
+    np.testing.assert_allclose(np.asarray(k_k), np.asarray(k_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_r), atol=1e-6)
+
+
+def test_rows_ms_grouped_tables_and_tile_base():
+    """ms kernel expands grouped tables and honors tile_base (layer
+    folding), matching the per-head oracle."""
+    from spt_proto_tpu.ops.pallas.decode_attention import (
+        decode_attention_rows_ms)
+    (q, k_cache, v_cache, c_cache, tables, n_tiles, pos, k_new, v_new,
+     c_new) = _setup_rows(b=2, kv=4, g=1, smax=64)
+    # two "layers" folded on the tile axis: duplicate the cache, offset
+    # the second slot's tables by tile_base
+    k2 = jnp.concatenate([k_cache, k_cache], axis=2)
+    v2 = jnp.concatenate([v_cache, v_cache], axis=2)
+    c2 = jnp.concatenate([c_cache, c_cache], axis=2)
+    nt = k_cache.shape[2]
+    base = jnp.asarray([0, nt], jnp.int32)
+    tb = jnp.where(tables >= 0, tables + base[:, None, None], -1)
+    grouped = tb[:, :1]    # one row serving all 4 heads
+    o_k, kk, vk, ck = decode_attention_rows_ms(
+        q, k2, v2, c2, grouped, n_tiles, pos, k_new, v_new, c_new, base,
+        ps=32, scale=0.125, interpret=True)
+    o_r, kr, vr, cr = decode_attention_rows_ref(
+        q, k2, v2, c2, jnp.repeat(grouped, 4, axis=1), n_tiles, pos,
+        k_new, v_new, c_new, base, ps=32, scale=0.125)
+    np.testing.assert_allclose(np.asarray(o_k), np.asarray(o_r), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(kk), np.asarray(kr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vk), np.asarray(vr), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ck), np.asarray(cr))
+
+
 def test_rows_ref_matches_direct_softmax():
     """Dense-mode oracle vs a direct masked softmax over the cache."""
     (q, k_cache, v_cache, c_cache, tables, n_tiles, pos, k_new, v_new,
