@@ -569,7 +569,7 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
     """
     from spt_proto_tpu.ops.pallas.decode_attention import (
         decode_attention_rows, decode_attention_rows_ms,
-        decode_attention_rows_q)
+        decode_attention_rows_q, decode_attention_rows_q_ms)
     cfg = iw.cfg
     p = iw.params
     quantized = cache.quantized
@@ -665,7 +665,14 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
             # not ported to it yet)
             if tables.shape[1] != kv:
                 tables = jnp.repeat(tables, kv // tables.shape[1], axis=1)
-            o, kc, vc, cc, ksc, vsc = decode_attention_rows_q(
+            kv_pad = ksc.shape[2]
+            stage_mb = 2 * (kv * tables.shape[2] * tps * TILE * 2
+                            * cfg.d_head
+                            + kv_pad * nt * TILE * 2 * 4) / 2**20
+            fn = decode_attention_rows_q_ms \
+                if cfg.decode_multislot and stage_mb < 11 \
+                else decode_attention_rows_q
+            o, kc, vc, cc, ksc, vsc = fn(
                 q4, kc, vc, cc, ksc, vsc, tables.astype(jnp.int32),
                 n_tiles, pos, k8, v8, c_new.astype(jnp.int32),
                 ks_new, vs_new, base,

@@ -1208,6 +1208,311 @@ def decode_attention_rows_q(q, k_cache, v_cache, c_cache, k_scale, v_scale,
     return o, k2, v2, c2, ks2, vs2
 
 
+def _rows_kernel_q_ms(tables, n_tiles, pos, tile_base,               # SMEM
+                      q_ref, k_ref, v_ref, c_ref, ksc_ref, vsc_ref,
+                      kn_ref, vn_ref, cn_ref, kscn_ref, vscn_ref,
+                      tabv_ref,
+                      o_ref, k_out, v_out, c_out, ksc_out, vsc_out,
+                      ks_all, vs_all, kslab, vslab, kss_line, vss_line,
+                      c_scr,
+                      sem_l, sem_wk, sem_wv, sem_c, sem_s,
+                      *, ps: int, tps: int, t_max: int, nt_layer: int,
+                      scale: float, clamp: float, write_codes: bool,
+                      kv: int, b_tot: int):
+    """Multi-slot twin of _rows_kernel_q: int8 tiles + per-token scale
+    slabs, one grid program looping slots with double-buffered tile AND
+    slab staging (line buffers are packed/consumed sequentially per slot,
+    so they stay single-buffered)."""
+    g = q_ref.shape[2]
+    d = q_ref.shape[3]
+    hspan = t_max * ps
+    ltot = kv * hspan
+    kv_pad = kslab.shape[2]
+
+    def issue_reads(b, buf):
+        base = tile_base[b]
+        rks = pltpu.make_async_copy(
+            ksc_ref.at[pl.ds(b, 1), pl.ds(base, nt_layer)],
+            kslab.at[pl.ds(buf, 1)], sem_s.at[buf])
+        rvs = pltpu.make_async_copy(
+            vsc_ref.at[pl.ds(b, 1), pl.ds(base, nt_layer)],
+            vslab.at[pl.ds(buf, 1)], sem_s.at[buf])
+        rks.start()
+        rvs.start()
+        cs = []
+        for h in range(kv):
+            for t in range(t_max):
+                tid = jnp.maximum(tables[b, h, t], 0)
+                lane0 = (h * t_max + t) * ps
+                ck = pltpu.make_async_copy(
+                    k_ref.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, tps)],
+                    ks_all.at[pl.ds(buf, 1), :, :, :, pl.ds(lane0, ps)],
+                    sem_l.at[buf])
+                cv = pltpu.make_async_copy(
+                    v_ref.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, tps)],
+                    vs_all.at[pl.ds(buf, 1), :, :, :, pl.ds(lane0, ps)],
+                    sem_l.at[buf])
+                ck.start()
+                cv.start()
+                cs.append((ck, cv))
+        return (rks, rvs), cs
+
+    live = {0: issue_reads(0, 0)}
+    for b in range(b_tot):
+        buf = b % 2
+        n_t = n_tiles[b]
+        p_b = pos[b]
+        base = tile_base[b]
+        w_tile = base + p_b // ps
+        w_col = jax.lax.rem(p_b, ps)
+
+        wc = None
+        if write_codes:
+            rc = pltpu.make_async_copy(
+                c_ref.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], c_scr, sem_c)
+            rc.start()
+
+        (rks, rvs), copies = live.pop(b)
+        rks.wait()
+        rvs.wait()
+        # merge the new token's scales into this slot's slab, write the
+        # write-tile scale rows back (one strided copy per operand)
+        rel_w = w_tile - base
+        slab_t = jax.lax.broadcasted_iota(jnp.int32,
+                                          (1, nt_layer, kv_pad, ps), 1)
+        slab_l = jax.lax.broadcasted_iota(jnp.int32,
+                                          (1, nt_layer, kv_pad, ps), 3)
+        sel_s = (slab_t == rel_w) & (slab_l == w_col)
+        kscn = kscn_ref[pl.ds(b, 1)]                     # [1, 1, kv_pad, 1]
+        vscn = vscn_ref[pl.ds(b, 1)]
+        kslab[pl.ds(buf, 1)] = jnp.where(sel_s, kscn, kslab[pl.ds(buf, 1)])
+        vslab[pl.ds(buf, 1)] = jnp.where(sel_s, vscn, vslab[pl.ds(buf, 1)])
+        wks = pltpu.make_async_copy(
+            kslab.at[pl.ds(buf, 1), pl.ds(rel_w, 1)],
+            ksc_out.at[pl.ds(b, 1), pl.ds(w_tile, 1)], sem_s.at[buf])
+        wvs = pltpu.make_async_copy(
+            vslab.at[pl.ds(buf, 1), pl.ds(rel_w, 1)],
+            vsc_out.at[pl.ds(b, 1), pl.ds(w_tile, 1)], sem_s.at[buf])
+        wks.start()
+        wvs.start()
+
+        # pack this slot's scale lanes (merged) into the line buffers —
+        # VPU moves that overlap the in-flight tile DMAs
+        for h in range(kv):
+            for t in range(t_max):
+                rel = jnp.clip(tables[b, h, t] - base, 0, nt_layer - tps)
+                lane0 = (h * t_max + t) * ps
+                for u in range(tps):
+                    kss_line[pl.ds(u, 1), pl.ds(lane0, ps)] = \
+                        kslab[buf, pl.ds(rel + u, 1), h]
+                    vss_line[pl.ds(u, 1), pl.ds(lane0, ps)] = \
+                        vslab[buf, pl.ds(rel + u, 1), h]
+
+        for ck, cv in copies:
+            ck.wait()
+            cv.wait()
+
+        if write_codes:
+            rc.wait()
+            ccols = jax.lax.broadcasted_iota(jnp.int32, c_scr.shape, 4)
+            cn = cn_ref[pl.ds(b, 1)][:, :, None]
+            c_scr[...] = jnp.where(ccols == w_col, cn, c_scr[...])
+            wc = pltpu.make_async_copy(
+                c_scr, c_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_c)
+            wc.start()
+
+        # merge the new token's int8 K/V columns, start tile write-backs
+        u_w = jax.lax.rem(w_tile, tps)
+        sub_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tps, d, ps), 2)
+        lane_i5 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tps, d, ps), 4)
+        wbs = []
+        for h in range(kv):
+            off = (h * t_max + n_t - 1) * ps
+            kn = kn_ref[pl.ds(b, 1), pl.ds(h, 1)][0]
+            vn = vn_ref[pl.ds(b, 1), pl.ds(h, 1)][0]
+            sel = (sub_i == u_w) & (lane_i5 == w_col)
+            ks_all[pl.ds(buf, 1), :, :, :, pl.ds(off, ps)] = jnp.where(
+                sel, kn, ks_all[pl.ds(buf, 1), :, :, :, pl.ds(off, ps)])
+            vs_all[pl.ds(buf, 1), :, :, :, pl.ds(off, ps)] = jnp.where(
+                sel, vn, vs_all[pl.ds(buf, 1), :, :, :, pl.ds(off, ps)])
+            wk = pltpu.make_async_copy(
+                ks_all.at[pl.ds(buf, 1), :, pl.ds(u_w, 1), :,
+                          pl.ds(off, ps)],
+                k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+                sem_wk.at[buf, h])
+            wv = pltpu.make_async_copy(
+                vs_all.at[pl.ds(buf, 1), :, pl.ds(u_w, 1), :,
+                          pl.ds(off, ps)],
+                v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+                sem_wv.at[buf, h])
+            wk.start()
+            wv.start()
+            wbs.append((wk, wv))
+
+        if b + 1 < b_tot and (b + 1) not in live:
+            live[b + 1] = issue_reads(b + 1, (b + 1) % 2)
+
+        # ---- attention math (dequant folded; overlaps b+1's reads)
+        q_all = q_ref[pl.ds(b, 1)][0].reshape(kv * g, d).astype(jnp.float32)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (kv * g, ltot), 1)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (kv * g, ltot), 0)
+        own = (lane_i // hspan) == (row_i // g)
+        col_in_tile = jax.lax.rem(lane_i, ps)
+        tv = tabv_ref[b]
+        tid_lane = jnp.broadcast_to(tv[:, :, None],
+                                    (kv, t_max, ps)).reshape(1, ltot)
+        e_lane = lane_i[:1] // ps
+        t_lane = jax.lax.rem(e_lane, t_max)
+        scs, oks = [], []
+        for u in range(tps):
+            sc = jax.lax.dot_general(
+                q_all, ks_all[buf, 0, u].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            sc = sc * kss_line[pl.ds(u, 1)]
+            if clamp > 0.0:
+                sc = jnp.clip(sc, -clamp, clamp)
+            gt = tid_lane + u
+            nv = jnp.where(
+                (tid_lane < 0) | (t_lane >= n_t), 0,
+                jnp.where(gt == w_tile, w_col + 1,
+                          jnp.where(gt < w_tile, ps, 0)))
+            ok = own & (col_in_tile < nv)
+            scs.append(jnp.where(ok, sc, NEG_INF))
+            oks.append(ok)
+        m = scs[0].max(axis=-1, keepdims=True)
+        for u in range(1, tps):
+            m = jnp.maximum(m, scs[u].max(axis=-1, keepdims=True))
+        lsum = jnp.zeros_like(m)
+        pv = jnp.zeros((kv * g, d), jnp.float32)
+        for u in range(tps):
+            e = jnp.where(oks[u], jnp.exp(scs[u] - m), 0.0)
+            lsum = lsum + jnp.sum(e, axis=-1, keepdims=True)
+            ev = e * vss_line[pl.ds(u, 1)]
+            pv = pv + jax.lax.dot_general(
+                ev, vs_all[buf, 0, u].astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        out = pv / jnp.maximum(lsum, 1e-30)
+        o_ref[pl.ds(b, 1)] = out.reshape(1, kv, g, d).astype(o_ref.dtype)
+
+        # drain this slot's write-backs, then issue b+2's reads into buf
+        if wc is not None:
+            wc.wait()
+        wks.wait()
+        wvs.wait()
+        for wk, wv in wbs:
+            wk.wait()
+            wv.wait()
+        if b + 2 < b_tot:
+            live[b + 2] = issue_reads(b + 2, buf)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('ps', 'tps', 'scale', 'clamp', 'nt_layer',
+                              'interpret'))
+def decode_attention_rows_q_ms(q, k_cache, v_cache, c_cache, k_scale,
+                               v_scale, tables, n_tiles, pos, k_new, v_new,
+                               c_new, kscale_new, vscale_new,
+                               tile_base=None, *,
+                               ps: int = 128, tps: int = 1,
+                               scale: float = 1.0, clamp: float = 0.0,
+                               nt_layer: int = 0,
+                               interpret: Optional[bool] = None):
+    """Multi-slot twin of decode_attention_rows_q (same contract). One
+    grid program loops all slots with double-buffered tile + scale-slab
+    staging; use when the doubled staging fits VMEM."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    b, kv, g, d = q.shape
+    n_sub = c_cache.shape[3]
+    t_max = tables.shape[2]
+    if tables.shape[1] != kv:
+        tables = jnp.repeat(tables, kv // tables.shape[1], axis=1)
+    write_codes = n_sub > 1
+    if nt_layer == 0:
+        nt_layer = k_cache.shape[2]
+    kv_pad = k_scale.shape[2]
+    assert kv_pad >= kv and kv_pad % 8 == 0 or kv_pad == kv, \
+        (kv, kv_pad)
+    if kv_pad > kv:
+        pad = ((0, 0), (0, kv_pad - kv))
+        kscale_new = jnp.pad(kscale_new, pad)
+        vscale_new = jnp.pad(vscale_new, pad)
+    vmem_mb = 2 * (kv * t_max * tps * ps * 2 * d * k_cache.dtype.itemsize
+                   + kv_pad * nt_layer * ps * 2 * 4) / 2**20
+    assert vmem_mb < 11, (
+        f'double-buffered packed K/V + scale slabs need {vmem_mb:.1f} MB '
+        f'VMEM — use decode_attention_rows_q (grid kernel) instead')
+    if tile_base is None:
+        tile_base = jnp.zeros((b,), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((b, kv, g, d), lambda i, *_: (0, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((b, kv, d, 1), lambda i, *_: (0, 0, 0, 0)),
+            pl.BlockSpec((b, kv, d, 1), lambda i, *_: (0, 0, 0, 0)),
+            pl.BlockSpec((b, kv, n_sub, 1), lambda i, *_: (0, 0, 0, 0)),
+            pl.BlockSpec((b, 1, kv_pad, 1), lambda i, *_: (0, 0, 0, 0)),
+            pl.BlockSpec((b, 1, kv_pad, 1), lambda i, *_: (0, 0, 0, 0)),
+            pl.BlockSpec((b, kv, t_max), lambda i, *_: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, kv, g, d), lambda i, *_: (0, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, tps, d, kv * t_max * ps), k_cache.dtype),
+            pltpu.VMEM((2, 1, tps, d, kv * t_max * ps), v_cache.dtype),
+            pltpu.VMEM((2, nt_layer, kv_pad, ps), jnp.float32),
+            pltpu.VMEM((2, nt_layer, kv_pad, ps), jnp.float32),
+            pltpu.VMEM((tps, kv * t_max * ps), jnp.float32),
+            pltpu.VMEM((tps, kv * t_max * ps), jnp.float32),
+            pltpu.VMEM((1, kv, 1, n_sub, ps), c_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, kv)),
+            pltpu.SemaphoreType.DMA((2, kv)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_rows_kernel_q_ms, ps=ps, tps=tps,
+                               t_max=t_max, nt_layer=nt_layer, scale=scale,
+                               clamp=clamp, write_codes=write_codes, kv=kv,
+                               b_tot=b)
+    o, k2, v2, c2, ks2, vs2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kv, g, d), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(c_cache.shape, c_cache.dtype),
+            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+        ],
+        # flattened inputs: 4 scalars, q=4, k_cache=5, v_cache=6,
+        # c_cache=7, k_scale=8, v_scale=9, k_new=10, v_new=11, c_new=12,
+        # kscale_new=13, vscale_new=14, tables(vmem)=15
+        input_output_aliases={5: 1, 6: 2, 7: 3, 8: 4, 9: 5},
+        interpret=interpret,
+    )(tables, n_tiles, pos, tile_base, q, k_cache, v_cache, c_cache,
+      k_scale, v_scale, k_new[..., None], v_new[..., None],
+      c_new[..., None], kscale_new[:, None, :, None],
+      vscale_new[:, None, :, None], tables)
+    return o, k2, v2, c2, ks2, vs2
+
+
 def decode_attention_rows_q_ref(q, k_cache, v_cache, c_cache, k_scale,
                                 v_scale, tables, n_tiles, pos, k_new,
                                 v_new, c_new, kscale_new, vscale_new,

@@ -80,6 +80,74 @@ def test_rows_q_kernel_matches_oracle(tps):
                                       err_msg=name)
 
 
+@pytest.mark.parametrize('tps', [1, 2])
+def test_rows_q_ms_kernel_matches_oracle(tps):
+    """Multi-slot quantized kernel == the shared jnp oracle."""
+    from spt_proto_tpu.ops.pallas.decode_attention import (
+        decode_attention_rows_q_ms)
+    nt = 8
+    args = _kernel_case(b=3, nt=nt, t_max=4 if tps == 1 else 2, tps=tps)
+    if tps > 1:
+        (q, k8, v8, c, ks, vs, _, _, pos, kn8, vn8, cn, ksn, vsn) = args
+        b, kv = q.shape[:2]
+        cur = pos // PS
+        n_sup = cur // tps + 1
+        t_max = nt // tps
+        e = jnp.arange(t_max)[None]
+        tables = jnp.where(e < n_sup[:, None], e * tps, -1)
+        tables = jnp.broadcast_to(tables[:, None], (b, kv, t_max)).astype(
+            jnp.int32)
+        args = (q, k8, v8, c, ks, vs, tables, n_sup, pos, kn8, vn8, cn,
+                ksn, vsn)
+    got = decode_attention_rows_q_ms(*args, ps=PS, tps=tps, scale=0.125,
+                                     interpret=True)
+    want = decode_attention_rows_q_ref(*args, ps=PS, tps=tps, scale=0.125)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               atol=2e-5, rtol=1e-5)
+    for g_, w_, name in [(got[1], want[1], 'k'), (got[2], want[2], 'v'),
+                         (got[4], want[4], 'ks'), (got[5], want[5], 'vs')]:
+        np.testing.assert_array_equal(np.asarray(g_), np.asarray(w_),
+                                      err_msg=name)
+
+
+def test_rows_q_ms_with_codes_and_tile_base():
+    """ms quantized kernel writes PQ codes and honors tile_base."""
+    from spt_proto_tpu.ops.pallas.decode_attention import (
+        decode_attention_rows_q_ms)
+    (q, k8, v8, c, ks, vs, tables, n_tiles, pos, kn8, vn8, cn, ksn,
+     vsn) = _kernel_case(b=2, nt=8, t_max=3, n_sub=4, seed=3)
+    r = np.random.RandomState(3)
+    c = jnp.asarray(r.randint(0, 16, c.shape), jnp.int32)
+    cn = jnp.asarray(r.randint(0, 16, cn.shape), jnp.int32)
+    nt_layer = 4   # two folded layers of 4 tiles each
+    base = jnp.asarray([0, nt_layer], jnp.int32)
+    # clamp tables into the slot's layer block
+    tables = jnp.where(tables >= 0,
+                       jnp.clip(tables, 0, nt_layer - 1) + base[:, None,
+                                                                None], -1)
+    pos = jnp.clip(pos, 0, nt_layer * PS - 1)
+    # rebuild validity: window ending at cur within the layer block
+    cur = pos // PS
+    t_max = tables.shape[2]
+    n_tiles = jnp.minimum(cur + 1, t_max)
+    e = jnp.arange(t_max)[None]
+    start = jnp.maximum(0, cur - (n_tiles - 1))
+    tables = jnp.where(e < n_tiles[:, None],
+                       (start[:, None] + e) + base[:, None], -1)
+    tables = jnp.broadcast_to(tables[:, None],
+                              (2, q.shape[1], t_max)).astype(jnp.int32)
+    args = (q, k8, v8, c, ks, vs, tables, n_tiles, pos, kn8, vn8, cn,
+            ksn, vsn, base)
+    got = decode_attention_rows_q_ms(*args, ps=PS, scale=0.125,
+                                     nt_layer=nt_layer, interpret=True)
+    want = decode_attention_rows_q_ref(*args, ps=PS, scale=0.125)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               atol=2e-5, rtol=1e-5)
+    for i, name in [(1, 'k'), (2, 'v'), (3, 'c'), (4, 'ks'), (5, 'vs')]:
+        np.testing.assert_array_equal(np.asarray(got[i]),
+                                      np.asarray(want[i]), err_msg=name)
+
+
 def _setup_model(attention='dense', seed=0):
     cfg = tiny_config('opt', vocab_size=128, n_layers=2,
                       max_length=512)
