@@ -669,8 +669,11 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
             stage_mb = 2 * (kv * tables.shape[2] * tps * TILE * 2
                             * cfg.d_head
                             + kv_pad * nt * TILE * 2 * 4) / 2**20
+            # unroll cap: the ms kernel unrolls b*kv*t_max DMA pairs —
+            # past ~768 the Mosaic compile time outgrows the win
+            unroll = b * kv * tables.shape[2]
             fn = decode_attention_rows_q_ms \
-                if cfg.decode_multislot and stage_mb < 11 \
+                if cfg.decode_multislot and stage_mb < 11 and unroll <= 768 \
                 else decode_attention_rows_q
             o, kc, vc, cc, ksc, vsc = fn(
                 q4, kc, vc, cc, ksc, vsc, tables.astype(jnp.int32),
@@ -683,8 +686,10 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
             # floor — docs/PERF.md round 2)
             stage_mb = (2 * 2 * kv * tables.shape[2] * tps * TILE
                         * cfg.d_head * kc.dtype.itemsize) / 2**20
+            # unroll cap: see the quantized branch
+            unroll = b * kv * tables.shape[2]
             fn = decode_attention_rows_ms \
-                if cfg.decode_multislot and stage_mb < 11 \
+                if cfg.decode_multislot and stage_mb < 11 and unroll <= 768 \
                 else decode_attention_rows
             o, kc, vc, cc = fn(
                 q4, kc, vc, cc, tables.astype(jnp.int32), n_tiles, pos,
