@@ -66,6 +66,24 @@ def _bench_decode(cfg, params, batch: int, prompt_len: int, max_len: int,
                            quantized=quantized_kv)
     logits, cache = jax.jit(prefill)(iw, prompts, cache)
 
+    def run_steps(iw):
+        return _decode_loop(iw, logits, cache, batch, steps)
+    try:
+        return run_steps(iw)
+    except Exception:
+        # the multi-slot decode kernel is the default; if it fails to
+        # compile/run on this backend, fall back to the per-slot grid
+        # kernel rather than failing the whole benchmark
+        if not cfg.decode_multislot:
+            raise
+        return run_steps(InferenceWeights.from_params(
+            cfg.replace(decode_multislot=False), params))
+
+
+def _decode_loop(iw, logits, cache, batch, steps):
+    import numpy as np
+    from spt_proto_tpu.inference.engine import decode_step
+
     # NOTE: discarding the final cache leaves the scan carry un-donatable
     # and XLA keeps a second cache-sized temp buffer (~612 MB at the
     # bench config) — harmless on a 16 GB chip, and donating here
