@@ -47,6 +47,12 @@ def main(argv=None):
                         'axis; parallel/pipeline.py)')
     p.add_argument('--pp_micro', type=int, default=2,
                    help='microbatches per pipeline step')
+    p.add_argument('--mesh_sp', type=int, default=1,
+                   help='context-parallel shards: the sequence is sharded '
+                        "over the 'sp' axis and dense attention runs as "
+                        'ring attention (sets cfg.context_parallel; '
+                        'dense/mha_v1 stages only, seq_length-2 must '
+                        'divide by it)')
     p.add_argument('--ep', action='store_true',
                    help='expert-parallel routed FFN: tokens+blocks shard '
                         "over 'data', all_to_all dispatch "
@@ -77,10 +83,14 @@ def main(argv=None):
     cfg.validate()
 
     mesh = None
-    if args.mesh_data or args.mesh_model or args.mesh_pipe > 1:
+    if args.mesh_data or args.mesh_model or args.mesh_pipe > 1 \
+            or args.mesh_sp > 1:
         from spt_proto_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(args.mesh_data, args.mesh_model,
-                         n_pipe=args.mesh_pipe)
+                         n_sp=args.mesh_sp, n_pipe=args.mesh_pipe)
+    if args.mesh_sp > 1:
+        cfg = cfg.replace(context_parallel=True)
+        cfg.validate()
     if args.ep:
         assert mesh is not None, '--ep requires --mesh_data/--mesh_model'
         cfg = cfg.replace(ffn_impl='ep')

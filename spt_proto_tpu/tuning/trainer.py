@@ -369,6 +369,10 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
     cfg.ffn_impl='ep' (requires mesh) dispatches routed-FFN tokens with
     expert parallelism over the 'data' axis (ops/routed_ffn_ep.py) — the
     ep_mesh trace context is entered automatically.
+    cfg.context_parallel=True (requires a mesh with an 'sp' axis > 1)
+    runs the context-parallel step (make_cp_train_step: sequence sharded
+    over 'sp', ring attention inside the layers, params replicated); the
+    batch is placed P('data', 'sp') automatically.
 
     Multi-host: runs unmodified under jax.distributed. Each process feeds
     its PROCESS-LOCAL batch rows (global batch = concat over processes in
@@ -394,7 +398,10 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
         trainable = trainable_mask(params)
     use_pp = pp_micro is not None and mesh is not None \
         and mesh.shape.get('pipe', 1) > 1
-    if mesh is not None:
+    use_cp = cfg.context_parallel and mesh is not None
+    if mesh is not None and not use_cp:
+        # CP keeps params replicated (the shard_map body holds the full
+        # tree); every other mode places them with the canonical rules
         from spt_proto_tpu.parallel.sharding import (batch_sharding,
                                                      shard_params)
         params = shard_params(mesh, params, fsdp=fsdp, pp=use_pp)
@@ -410,7 +417,12 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
         assert mesh is not None, "cfg.ffn_impl='ep' requires a mesh"
         from spt_proto_tpu.ops.routed_ffn_ep import ep_mesh
         trace_ctx.enter_context(ep_mesh(mesh, axis='data'))
-    if use_pp:
+    if use_cp:
+        assert not use_pp and not fsdp, \
+            'context parallelism composes with DP only (params replicated)'
+        mk = lambda tq: make_cp_train_step(cfg, tx, mesh,
+                                           train_quantizer=tq)
+    elif use_pp:
         mk = lambda tq: make_pp_train_step(
             cfg, tx, mesh, n_micro=pp_micro, trainable=trainable,
             train_quantizer=tq)
@@ -427,7 +439,15 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
                 break
             if mesh is not None:
                 from spt_proto_tpu.parallel.mesh import put_global_batch
-                batch = put_global_batch(batch, batch_sharding(mesh))
+                if use_cp:
+                    # the CP step consumes inputs/targets only
+                    batch = {k: batch[k] for k in ('inputs', 'targets')}
+                    batch = put_global_batch(
+                        batch, step_pq.batch_shardings())
+                else:
+                    from spt_proto_tpu.parallel.sharding import \
+                        batch_sharding
+                    batch = put_global_batch(batch, batch_sharding(mesh))
             fn = step_pq if i % pq_train_every == 0 else step_fast
             state, metrics = fn(state, batch)
             if i % log_every == 0:

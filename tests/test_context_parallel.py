@@ -77,3 +77,51 @@ def test_cp_rejects_sparse_v2():
                                      attention='sparse_v2')
     with pytest.raises(AssertionError):
         cfg.validate()
+
+
+def test_train_loop_cp_mode():
+    """train_loop drives the CP step when cfg.context_parallel and the
+    mesh has an 'sp' axis (VERDICT r1 #5: reachable end to end)."""
+    from spt_proto_tpu.tuning.trainer import train_loop
+    base = tiny_config('llama', vocab_size=64, max_length=256)
+    params = surgery.init_params(base, jax.random.PRNGKey(0))
+    cfg = base.replace(context_parallel=True)
+    cfg.validate()
+    mesh = make_mesh(2, 1, n_sp=4)
+
+    def batches():
+        i = 0
+        while True:
+            yield _batch(cfg, b=4, s=64, seed=i)
+            i += 1
+
+    with mesh:
+        params2, hist = train_loop(cfg, params, batches(), max_steps=3,
+                                   log_every=1, freeze_base=False,
+                                   mesh=mesh)
+    assert np.isfinite(hist[-1][1]['loss'])
+    # params actually moved
+    a, b_ = flatten(params), flatten(params2)
+    assert any(not np.allclose(a[k], b_[k]) for k in a)
+
+
+def test_tune_cli_cp_mode(tmp_path, capsys):
+    """tune CLI --mesh_sp 2: context-parallel fine-tune end to end."""
+    import json
+
+    from spt_proto_tpu.cli import tune
+    from spt_proto_tpu.utils import checkpoint as ckpt_io
+    ck = str(tmp_path / 'base')
+    cfg = tiny_config('opt', vocab_size=64)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    ckpt_io.save_checkpoint(ck, cfg, params)
+    out = str(tmp_path / 'tuned')
+    # seq_length 34 -> batch sequences of 32 tokens, 2 sp shards of 16
+    tune.main(['--ckpt', ck, '--out', out, '--steps', '2',
+               '--d_lora', '4', '--seq_length', '34', '--batch_size', '4',
+               '--mesh_data', '4', '--mesh_sp', '2',
+               '--stages', 'lora'])
+    lines = capsys.readouterr().out.strip().splitlines()
+    final = json.loads(lines[-1])
+    assert final['delta_params'] > 0
+    assert np.isfinite(json.loads(lines[0])['loss'])
