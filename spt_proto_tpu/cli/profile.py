@@ -28,6 +28,12 @@ def main(argv=None):
     p.add_argument('--batch_size', type=int, default=4)
     p.add_argument('--iters', type=int, default=10)
     p.add_argument('--backward', action='store_true')
+    p.add_argument('--decode', action='store_true',
+                   help='profile the serving decode step instead: prefill '
+                        '--seq_length tokens, time --iters decode steps '
+                        '(the north-star regime; no reference analog)')
+    p.add_argument('--quantized_kv', action='store_true',
+                   help='with --decode: int8 KV cache')
     p.add_argument('--trace_dir', type=str, default=None,
                    help='write a jax.profiler trace here')
     args = p.parse_args(argv)
@@ -54,7 +60,43 @@ def main(argv=None):
     tokens = jnp.zeros((args.batch_size, args.seq_length), jnp.int32)
     n = args.iters
 
-    if args.backward:
+    if args.decode:
+        assert not args.backward, '--decode and --backward are exclusive'
+        from spt_proto_tpu.inference.engine import (KVCache, decode_step,
+                                                    prefill)
+        from spt_proto_tpu.inference.weights import InferenceWeights
+        iw = InferenceWeights.from_params(cfg, params)
+        rs = np.random.RandomState(0)
+        prompts = jnp.asarray(
+            rs.randint(1, cfg.vocab_size,
+                       (args.batch_size, args.seq_length)), jnp.int32)
+        cache = KVCache.create(cfg, args.batch_size,
+                               args.seq_length + n + 1, dtype=cfg.dtype,
+                               quantized=args.quantized_kv)
+        logits, cache = jax.jit(prefill)(iw, prompts, cache)
+
+        @jax.jit
+        def loop(iw, tok, cache):
+            def body(carry, _):
+                tok, cache = carry
+                lg, cache = decode_step(iw, tok, cache)
+                return (jnp.argmax(lg, -1).astype(jnp.int32), cache), ()
+            (tok, cache), _ = jax.lax.scan(body, (tok, cache), None,
+                                           length=n)
+            return tok, cache
+
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        t0 = time.perf_counter()
+        t2, _ = loop(iw, tok, cache)
+        np.asarray(t2)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        t3, _ = loop(iw, tok, cache)
+        np.asarray(t3)
+        dt = (time.perf_counter() - t0) / n
+        state = batch = None   # not used below
+        toks_per_s = args.batch_size / dt
+    elif args.backward:
         freeze = args.tuning != 'dense'
         tx = make_optimizer(params, lr=1e-4, freeze_base=freeze)
         trainable = None
@@ -103,7 +145,8 @@ def main(argv=None):
         float(loop(params, tokens))
         dt = (time.perf_counter() - t0) / n
 
-    toks_per_s = args.batch_size * args.seq_length / dt
+    if not args.decode:
+        toks_per_s = args.batch_size * args.seq_length / dt
     dev = jax.devices()[0]
     mem = {}
     try:
@@ -116,7 +159,10 @@ def main(argv=None):
 
     if args.trace_dir:
         with jax.profiler.trace(args.trace_dir):
-            if args.backward:
+            if args.decode:
+                t4, _ = loop(iw, tok, cache)
+                np.asarray(t4)
+            elif args.backward:
                 st2, last = loop(state, batch)
                 jax.block_until_ready(st2.params)
             else:
@@ -125,7 +171,8 @@ def main(argv=None):
     print(json.dumps({
         'config': args.config if not args.ckpt else args.ckpt,
         'tuning': args.tuning,
-        'mode': 'train_step' if args.backward else 'forward',
+        'mode': 'decode' if args.decode else
+                ('train_step' if args.backward else 'forward'),
         'batch': args.batch_size, 'seq': args.seq_length,
         'compile_s': round(compile_s, 2),
         'step_ms': round(dt * 1e3, 3),

@@ -49,6 +49,16 @@ def test_profile_cli_backward_sparse(tiny_ckpt, capsys):
     assert out['step_ms'] > 0
 
 
+def test_profile_cli_decode_sparse(tiny_ckpt, capsys):
+    from spt_proto_tpu.cli import profile as profile_cli
+    profile_cli.main(['--ckpt', tiny_ckpt, '--tuning', 'sparse',
+                      '--seq_length', '32', '--batch_size', '2',
+                      '--iters', '3', '--decode'])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out['mode'] == 'decode'
+    assert out['tokens_per_s'] > 0
+
+
 def test_tune_cli_synthetic_and_dump_delta(tiny_ckpt, tmp_path, capsys):
     from spt_proto_tpu.cli import dump_delta, tune
     out_dir = str(tmp_path / 'tuned')
