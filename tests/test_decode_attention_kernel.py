@@ -170,6 +170,19 @@ def test_rows_ms_kernel_matches_ref(mode, g):
     np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_r), atol=1e-6)
 
 
+def test_rows_ms_single_slot():
+    """b=1 (the single-prompt CLI path) through the multi-slot kernel."""
+    from spt_proto_tpu.ops.pallas.decode_attention import (
+        decode_attention_rows_ms)
+    args = _setup_rows(b=1, kv=3, g=2, sparse_sel=3)
+    o_k, k_k, v_k, c_k = decode_attention_rows_ms(
+        *args, ps=32, scale=0.125, clamp=10.0, interpret=True)
+    o_r, k_r, v_r, c_r = decode_attention_rows_ref(
+        *args, ps=32, scale=0.125, clamp=10.0)
+    np.testing.assert_allclose(np.asarray(o_k), np.asarray(o_r), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(k_k), np.asarray(k_r), atol=1e-6)
+
+
 def test_rows_ms_grouped_tables_and_tile_base():
     """ms kernel expands grouped tables and honors tile_base (layer
     folding), matching the per-head oracle."""
