@@ -19,6 +19,14 @@ def main(argv=None):
     p.add_argument('--tokenizer', type=str, default='facebook/opt-1.3b')
     p.add_argument('--max_new_tokens', type=int, default=32)
     p.add_argument('--temperature', type=float, default=0.0)
+    p.add_argument('--top_k', type=int, default=None,
+                   help='top-k sampling cutoff (with --temperature > 0)')
+    p.add_argument('--top_p', type=float, default=None,
+                   help='nucleus sampling cutoff (with --temperature > 0)')
+    p.add_argument('--seed', type=int, default=0,
+                   help='sampling rng seed')
+    p.add_argument('--quantized_kv', action='store_true',
+                   help='int8 KV cache (per-token scales)')
     p.add_argument('--int8', action='store_true',
                    help='INT8 weight-only quantized serving')
     p.add_argument('--continuous', action='store_true',
@@ -54,7 +62,8 @@ def main(argv=None):
             iw, n_slots=min(8, len(enc)),
             max_len=max(len(e) for e in enc) + args.max_new_tokens,
             temperature=args.temperature, eos_id=tok.eos_token_id,
-            prefill_chunk=args.prefill_chunk)
+            prefill_chunk=args.prefill_chunk,
+            quantized_kv=args.quantized_kv)
         rids = [eng.submit(e, args.max_new_tokens) for e in enc]
         by_id = {c.request_id: c.tokens for c in eng.run_until_done()}
         outs = [by_id[r] for r in rids]
@@ -68,8 +77,11 @@ def main(argv=None):
         lengths = np.asarray([len(e) for e in enc], np.int32)
         out = generate(iw, jnp.asarray(batch), args.max_new_tokens,
                        temperature=args.temperature,
+                       top_k=args.top_k, top_p=args.top_p,
+                       rng=jax.random.PRNGKey(args.seed),
                        eos_id=tok.eos_token_id,
-                       lengths=jnp.asarray(lengths))
+                       lengths=jnp.asarray(lengths),
+                       quantized_kv=args.quantized_kv)
         for i, text in enumerate(prompts):
             new = np.asarray(out)[i, width:]
             print(repr(text), '->', repr(tok.decode(new)))

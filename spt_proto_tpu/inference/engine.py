@@ -778,6 +778,7 @@ def sample(logits: jax.Array, rng: Optional[jax.Array] = None, *,
 
 def generate(iw: InferenceWeights, prompts: jax.Array, max_new_tokens: int,
              *, max_len: Optional[int] = None, temperature: float = 0.0,
+             top_k: Optional[int] = None, top_p: Optional[float] = None,
              rng: Optional[jax.Array] = None,
              eos_id: Optional[int] = None,
              lengths: Optional[jax.Array] = None,
@@ -816,7 +817,8 @@ def generate(iw: InferenceWeights, prompts: jax.Array, max_new_tokens: int,
         last = logits[:, -1]
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     out = [prompts]
-    tok = sample(last, rng, temperature=temperature)
+    tok = sample(last, rng, temperature=temperature,
+                 top_k=top_k, top_p=top_p)
     done = jnp.zeros((b,), bool) if eos_id is not None else None
     for i in range(max_new_tokens):
         out.append(tok[:, None])
@@ -832,5 +834,6 @@ def generate(iw: InferenceWeights, prompts: jax.Array, max_new_tokens: int,
         rng, sub = jax.random.split(rng)
         logits, cache = step_fn(iw, tok, cache)
         max_pos += 1
-        tok = sample(logits, sub, temperature=temperature)
+        tok = sample(logits, sub, temperature=temperature,
+                     top_k=top_k, top_p=top_p)
     return jnp.concatenate(out, axis=1)
