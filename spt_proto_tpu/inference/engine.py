@@ -712,6 +712,209 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# block verify (speculative decoding)
+# ---------------------------------------------------------------------------
+
+def verify_step(iw: InferenceWeights, tokens: jax.Array,
+                cache: KVCache) -> Tuple[jax.Array, KVCache]:
+    """Speculative-decoding block verify: process K tokens per slot in ONE
+    forward. tokens [B, K] int32 at positions cache.length[b] + [0, K);
+    returns (logits [B, K, V], cache with the K columns appended and
+    length += K). The caller rolls back by simply lowering cache.length —
+    rejected columns stay in the tiles but every attention path masks by
+    position, and the next append overwrites them (the rollback design the
+    tile-major cache was built for; docs/ROADMAP.md speculative item).
+
+    Attention semantics mirror decode_step EXACTLY per query j (the
+    parity requirement for greedy speculative == greedy vanilla):
+      * dense — causal over positions <= pos+j;
+      * sparse — per-kv-head tile tables from group-pooled PQ match means
+        over FULL tiles (< (pos+j)//TILE), top nsel-1 by jax.lax.top_k
+        (same tie-breaking) plus the current tile, scores clamped to
+        +-score_clamp before masking (ops/pallas/decode_attention.py
+        _rows_kernel masking rule: a full tile's lanes are all valid,
+        the current tile's lanes up to the query position).
+    New-token codes/K/V are inserted up-front: for query j, any later
+    token i > j lands in a tile >= its current tile, which the full-tile
+    cutoff masks — so one insertion serves all K queries.
+
+    This is the jnp verify path (reads the layer's cache slice; one
+    defensive cache copy per call). K is small (draft depth + 1), so the
+    verify cost amortizes over the accepted tokens; a fused Pallas
+    verify kernel is the on-chip path (ops/pallas/decode_attention.py
+    verify variant) when available.
+    """
+    cfg = iw.cfg
+    p = iw.params
+    quantized = cache.quantized
+    b, kk = tokens.shape
+    l = cfg.n_layers
+    nt = cache.tiles_per_layer(l)
+    s_all = nt * TILE
+    kv, g = cfg.kv_heads, cfg.kv_groups
+    dh = cfg.d_head
+    pos0 = cache.length                                   # [B]
+    wpos = pos0[:, None] + jnp.arange(kk)[None]           # [B, K]
+    h_tok = p['embedding']['embedding'][tokens]           # [B, K, Dm]
+    if cfg.arch == 'opt':
+        h_tok = h_tok + p['learned_pe']['embedding'][wpos + PE_OFFSET]
+    x = h_tok.astype(cfg.dtype)
+
+    sparse = cfg.attention == ATTN_SPARSE_V2
+    scale = dh ** -0.5
+    tile_r = wpos // TILE                                 # [B, K]
+    col_r = wpos % TILE
+    if sparse:
+        nsel = min(nt, max(1, nt // cfg.sparse_coeff) + 1)
+        gsel = cfg.sparse_select_heads
+        n_tab = kv // gsel
+    colpos = jnp.arange(s_all)
+    causal = colpos[None, None, :] <= wpos[:, :, None]    # [B, K, S]
+    t_io5 = jnp.arange(nt)[None, None, :, None, None]     # tile iota
+    c_io5 = jnp.arange(TILE)[None, None, None, None, :]   # lane iota
+
+    def insert_cols(sl, new):
+        """sl [B, KV, NT, w, T]; new [B, KV, K, w] -> K columns inserted
+        at (tile_r, col_r)."""
+        for i in range(kk):
+            m = ((t_io5 == tile_r[:, i][:, None, None, None, None])
+                 & (c_io5 == col_r[:, i][:, None, None, None, None]))
+            sl = jnp.where(m, new[:, :, i][:, :, None, :, None]
+                           .astype(sl.dtype), sl)
+        return sl
+
+    def layer(carry, inp):
+        x, kc, vc, cc, ksc, vsc = carry
+        bp, lix = inp
+        hn = _norm(cfg, bp['norm1'], x)
+        q = _dense(bp['mha']['q'], hn).reshape(
+            b, kk, kv * g, dh).transpose(0, 2, 1, 3)      # [B, H, K, D]
+        k_new = _dense(bp['mha']['k'], hn).reshape(
+            b, kk, kv, dh).transpose(0, 2, 1, 3)          # [B, KV, K, D]
+        v_new = _dense(bp['mha']['v'], hn).reshape(
+            b, kk, kv, dh).transpose(0, 2, 1, 3)
+        if cfg.arch == 'llama':
+            q = _apply_rope_1(q, wpos, cfg.rope_base)
+            k_new = _apply_rope_1(k_new, wpos, cfg.rope_base)
+
+        # ---- insert the K new columns into this layer's cache slices
+        k_l = jax.lax.dynamic_slice(kc, (0, 0, lix * nt, 0, 0),
+                                    (b, kv, nt, dh, TILE))
+        v_l = jax.lax.dynamic_slice(vc, (0, 0, lix * nt, 0, 0),
+                                    (b, kv, nt, dh, TILE))
+        c_l = jax.lax.dynamic_slice(cc, (0, 0, lix * nt, 0, 0),
+                                    (b, kv, nt, cc.shape[3], TILE))
+        if sparse:
+            codes_q = _encode_codes(cfg, bp['mha']['quantizer'],
+                                    q.reshape(b, kv, g, kk, dh))
+            c_new = _encode_codes(cfg, bp['mha']['quantizer'], k_new)
+            c_l = insert_cols(c_l, c_new.astype(jnp.int32))
+        if quantized:
+            k8, ks_new = _quantize_kv(k_new)   # [B,KV,K,D] + [B,KV,K]
+            v8, vs_new = _quantize_kv(v_new)
+            k_l = insert_cols(k_l, k8)
+            v_l = insert_cols(v_l, v8)
+            hp = ksc.shape[2]
+            ksc_l = jax.lax.dynamic_slice(ksc, (0, lix * nt, 0, 0),
+                                          (b, nt, hp, TILE))
+            vsc_l = jax.lax.dynamic_slice(vsc, (0, lix * nt, 0, 0),
+                                          (b, nt, hp, TILE))
+            pad_h = ((0, 0), (0, hp - kv), (0, 0))
+            ks_p = jnp.pad(ks_new, pad_h)             # [B, hp, K]
+            vs_p = jnp.pad(vs_new, pad_h)
+            for i in range(kk):
+                m = ((jnp.arange(nt)[None, :, None, None]
+                      == tile_r[:, i][:, None, None, None])
+                     & (jnp.arange(TILE)[None, None, None, :]
+                        == col_r[:, i][:, None, None, None]))
+                ksc_l = jnp.where(m, ks_p[:, None, :, i, None], ksc_l)
+                vsc_l = jnp.where(m, vs_p[:, None, :, i, None], vsc_l)
+            # dequantize for the attention math (scores x kscale /
+            # probs x vscale in the kernel == dequantized operands)
+            kf = (k_l.astype(jnp.float32)
+                  * ksc_l[:, :, :kv].transpose(0, 2, 1, 3)[:, :, :, None]
+                  ).astype(cfg.dtype)
+            vf = (v_l.astype(jnp.float32)
+                  * vsc_l[:, :, :kv].transpose(0, 2, 1, 3)[:, :, :, None]
+                  ).astype(cfg.dtype)
+        else:
+            k_l = insert_cols(k_l, k_new)
+            v_l = insert_cols(v_l, v_new)
+            kf, vf = k_l, v_l
+
+        # ---- token-major views + attention over [cache + new block]
+        k_tok = kf.transpose(0, 1, 2, 4, 3).reshape(b, kv, s_all, dh)
+        v_tok = vf.transpose(0, 1, 2, 4, 3).reshape(b, kv, s_all, dh)
+        if g > 1:
+            k_tok = jnp.repeat(k_tok, g, axis=1)
+            v_tok = jnp.repeat(v_tok, g, axis=1)
+        scores = jnp.einsum('bhkd,bhjd->bhkj', q, k_tok,
+                            preferred_element_type=jnp.float32) * scale
+        if sparse:
+            scores = jnp.clip(scores, -cfg.score_clamp, cfg.score_clamp)
+            keep_j = []
+            for j in range(kk):
+                cq = codes_q[:, :, :, j]                  # [B,KV,G,n_sub]
+                match = jnp.sum(
+                    (c_l[:, :, None] == cq[:, :, :, None, :, None]
+                     ).astype(jnp.float32), axis=4)       # [B,KV,G,NT,T]
+                tsc = match.mean(axis=(2, 4))             # [B, KV, NT]
+                if gsel > 1:
+                    tsc = tsc.reshape(b, n_tab, gsel, nt).mean(2)
+                cur_j = tile_r[:, j]                      # [B]
+                full_t = jnp.arange(nt)[None, :] < cur_j[:, None]
+                tsc = jnp.where(full_t[:, None], tsc, -jnp.inf)
+                sel = jnp.zeros((b, n_tab, nt), bool)
+                if nsel > 1:
+                    svals, sidx = jax.lax.top_k(tsc, nsel - 1)
+                    oh = ((jnp.arange(nt)[None, None, None]
+                           == sidx[..., None])
+                          & (svals > -jnp.inf)[..., None])
+                    sel = oh.any(axis=2)
+                sel = sel | (jnp.arange(nt)[None, None]
+                             == cur_j[:, None, None])
+                keep_j.append(sel)
+            keep = jnp.stack(keep_j, axis=2)              # [B,n_tab,K,NT]
+            keep = jnp.repeat(keep, gsel * g, axis=1)     # [B, H, K, NT]
+            keep = jnp.repeat(keep, TILE, axis=3)         # [B, H, K, S]
+            allowed = keep & causal[:, None]
+        else:
+            allowed = jnp.broadcast_to(causal[:, None],
+                                       scores.shape)
+        scores = jnp.where(allowed, scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v_tok.dtype)
+        o = jnp.einsum('bhkj,bhjd->bhkd', probs, v_tok,
+                       preferred_element_type=jnp.float32
+                       ).astype(cfg.dtype)
+        o = o.transpose(0, 2, 1, 3).reshape(b, kk, cfg.d_model)
+        x = x + _dense(bp['mha']['o'], o)
+        x = x + _ffn(cfg, bp['ffn'], _norm(cfg, bp['norm2'], x))
+
+        # ---- write the updated layer slices back
+        kc = jax.lax.dynamic_update_slice(kc, k_l, (0, 0, lix * nt, 0, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v_l, (0, 0, lix * nt, 0, 0))
+        if sparse:
+            cc = jax.lax.dynamic_update_slice(
+                cc, c_l, (0, 0, lix * nt, 0, 0))
+        if quantized:
+            ksc = jax.lax.dynamic_update_slice(
+                ksc, ksc_l, (0, lix * nt, 0, 0))
+            vsc = jax.lax.dynamic_update_slice(
+                vsc, vsc_l, (0, lix * nt, 0, 0))
+        return (x, kc, vc, cc, ksc, vsc), None
+
+    (x, kc, vc, cc, ksc, vsc), _ = jax.lax.scan(
+        layer, (x, cache.k, cache.v, cache.codes,
+                cache.k_scale, cache.v_scale),
+        (p['blocks'], jnp.arange(l)))
+    cache = KVCache(k=kc, v=vc, codes=cc, length=pos0 + kk,
+                    k_scale=ksc, v_scale=vsc)
+    x = _norm(cfg, p['final_norm'], x)
+    logits = _dense(p['lm_head'], x)
+    return logits, cache
+
+
+# ---------------------------------------------------------------------------
 # cache growth (length bucketing)
 # ---------------------------------------------------------------------------
 
@@ -809,7 +1012,9 @@ def generate(iw: InferenceWeights, prompts: jax.Array, max_new_tokens: int,
     if lengths is not None:
         lengths = jnp.asarray(lengths, jnp.int32)
         max_pos = int(lengths.max())
-        cache = dataclasses.replace(cache, length=lengths)
+        # .copy(): the cache is donated through decode steps — the
+        # caller's lengths buffer must not be deleted with it
+        cache = dataclasses.replace(cache, length=lengths.copy())
         last = jnp.take_along_axis(
             logits, (lengths - 1)[:, None, None], axis=1)[:, 0]
     else:
