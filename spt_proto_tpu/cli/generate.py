@@ -35,6 +35,14 @@ def main(argv=None):
                    help='chunked prefill: split prompts longer than this '
                         'across engine steps (multiple of 128; '
                         '--continuous only)')
+    p.add_argument('--speculative', action='store_true',
+                   help='greedy speculative decoding (lossless: output '
+                        'matches plain greedy). Drafts with --draft_ckpt '
+                        'if given, else prompt-lookup (n-gram) proposals')
+    p.add_argument('--draft_ckpt', type=str, default=None,
+                   help='draft model checkpoint dir for --speculative')
+    p.add_argument('--spec_k', type=int, default=4,
+                   help='draft depth (proposed tokens per verify block)')
     args = p.parse_args(argv)
 
     import jax
@@ -69,6 +77,32 @@ def main(argv=None):
         outs = [by_id[r] for r in rids]
         for text, new in zip(prompts, outs):
             print(repr(text), '->', repr(tok.decode(new)))
+    elif args.speculative:
+        assert args.temperature == 0.0, \
+            'speculative decoding is greedy-only (temperature 0)'
+        from spt_proto_tpu.inference.speculative import generate_speculative
+        draft = None
+        if args.draft_ckpt:
+            from spt_proto_tpu.utils import checkpoint as ckpt_io
+            dcfg, dparams = ckpt_io.load_checkpoint(args.draft_ckpt)
+            dcfg = apply_dtype(dcfg, args)
+            if jax.default_backend() == 'tpu':
+                dcfg = dcfg.replace(attn_impl='pallas')
+            draft = InferenceWeights.from_params(dcfg, dparams)
+        width = max(len(e) for e in enc)
+        batch = np.zeros((len(enc), width), np.int32)
+        for i, e in enumerate(enc):
+            batch[i, :len(e)] = e
+        lengths = np.asarray([len(e) for e in enc], np.int32)
+        out, stats = generate_speculative(
+            iw, jnp.asarray(batch), args.max_new_tokens, draft=draft,
+            k=args.spec_k, eos_id=tok.eos_token_id,
+            lengths=jnp.asarray(lengths), quantized_kv=args.quantized_kv)
+        for i, text in enumerate(prompts):
+            new = np.asarray(out)[i, width:]
+            print(repr(text), '->', repr(tok.decode(new)))
+        print(f"[speculative] rounds={stats['rounds']} "
+              f"acceptance={stats['acceptance']:.2f}")
     else:
         width = max(len(e) for e in enc)
         batch = np.zeros((len(enc), width), np.int32)

@@ -98,3 +98,31 @@ def test_evaluate_cli_with_synthetic_mmlu(tiny_ckpt, tmp_path, capsys,
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 'ppl' in out and 'accuracy' in out
     assert out['n_examples'] > 0
+
+
+class _CharTok:
+    eos_token_id = None
+
+    def encode(self, s):
+        return [ord(c) % 60 for c in s]
+
+    def decode(self, ids):
+        return ''.join(chr(65 + int(i) % 26) for i in ids)
+
+
+def test_generate_cli_speculative(tiny_ckpt, capsys, monkeypatch):
+    """--speculative (n-gram drafting) must print the same continuation as
+    plain greedy generate."""
+    import transformers
+
+    from spt_proto_tpu.cli import generate as gen_cli
+    monkeypatch.setattr(transformers.AutoTokenizer, 'from_pretrained',
+                        staticmethod(lambda name: _CharTok()))
+    common = ['--ckpt', tiny_ckpt, '--prompt', 'abcabcabc',
+              '--max_new_tokens', '6']
+    gen_cli.main(common)
+    plain = capsys.readouterr().out.strip().splitlines()[-1]
+    gen_cli.main(common + ['--speculative', '--spec_k', '3'])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[-1].startswith('[speculative]')
+    assert lines[-2] == plain
