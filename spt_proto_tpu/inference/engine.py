@@ -716,7 +716,8 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
 # ---------------------------------------------------------------------------
 
 def verify_step(iw: InferenceWeights, tokens: jax.Array,
-                cache: KVCache) -> Tuple[jax.Array, KVCache]:
+                cache: KVCache, impl: Optional[str] = None
+                ) -> Tuple[jax.Array, KVCache]:
     """Speculative-decoding block verify: process K tokens per slot in ONE
     forward. tokens [B, K] int32 at positions cache.length[b] + [0, K);
     returns (logits [B, K, V], cache with the K columns appended and
@@ -738,11 +739,16 @@ def verify_step(iw: InferenceWeights, tokens: jax.Array,
     token i > j lands in a tile >= its current tile, which the full-tile
     cutoff masks — so one insertion serves all K queries.
 
-    This is the jnp verify path (reads the layer's cache slice; one
-    defensive cache copy per call). K is small (draft depth + 1), so the
-    verify cost amortizes over the accepted tokens; a fused Pallas
-    verify kernel is the on-chip path (ops/pallas/decode_attention.py
-    verify variant) when available.
+    Two implementations (impl: None = auto, 'kernel', 'jnp'):
+      * 'kernel' (default when the cache is bf16): the fused Pallas
+        block-verify kernel (ops/pallas/decode_attention.py
+        verify_attention_rows) — per layer, ONE kernel call DMAs only
+        the union of every query's selected tiles, carries a per-entry
+        K-bit visibility mask so each query sees exactly its own decode
+        selection, and appends the K new columns in place.
+      * 'jnp' (default for the int8 cache): reads the layer's cache
+        slice and computes the same math in XLA (one defensive cache
+        copy per call).
     """
     cfg = iw.cfg
     p = iw.params
@@ -768,6 +774,10 @@ def verify_step(iw: InferenceWeights, tokens: jax.Array,
         nsel = min(nt, max(1, nt // cfg.sparse_coeff) + 1)
         gsel = cfg.sparse_select_heads
         n_tab = kv // gsel
+        t_sel = min(nt, (nsel - 1) * kk)   # union-table width (kernel)
+    use_kernel = (impl or ('jnp' if quantized else 'kernel')) == 'kernel'
+    assert not (use_kernel and quantized), \
+        'the int8 cache verifies via impl=jnp'
     colpos = jnp.arange(s_all)
     causal = colpos[None, None, :] <= wpos[:, :, None]    # [B, K, S]
     t_io5 = jnp.arange(nt)[None, None, :, None, None]     # tile iota
@@ -783,6 +793,35 @@ def verify_step(iw: InferenceWeights, tokens: jax.Array,
                            .astype(sl.dtype), sl)
         return sl
 
+    def select_tiles(c_li, codes_q):
+        """Per-query decode tile selection over the (code-inserted) layer
+        codes: keep [B, N_TAB, K, NT] bool — cur_j's tile always, plus
+        the top nsel-1 FULL tiles by group-pooled match mean (the exact
+        decode_step rule, jax.lax.top_k tie-breaking included)."""
+        keep_j = []
+        for j in range(kk):
+            cq = codes_q[:, :, :, j]                      # [B,KV,G,n_sub]
+            match = jnp.sum(
+                (c_li[:, :, None] == cq[:, :, :, None, :, None]
+                 ).astype(jnp.float32), axis=4)           # [B,KV,G,NT,T]
+            tsc = match.mean(axis=(2, 4))                 # [B, KV, NT]
+            if gsel > 1:
+                tsc = tsc.reshape(b, n_tab, gsel, nt).mean(2)
+            cur_j = tile_r[:, j]                          # [B]
+            full_t = jnp.arange(nt)[None, :] < cur_j[:, None]
+            tsc = jnp.where(full_t[:, None], tsc, -jnp.inf)
+            sel = jnp.zeros((b, n_tab, nt), bool)
+            if nsel > 1:
+                svals, sidx = jax.lax.top_k(tsc, nsel - 1)
+                oh = ((jnp.arange(nt)[None, None, None]
+                       == sidx[..., None])
+                      & (svals > -jnp.inf)[..., None])
+                sel = oh.any(axis=2)
+            sel = sel | (jnp.arange(nt)[None, None]
+                         == cur_j[:, None, None])
+            keep_j.append(sel)
+        return jnp.stack(keep_j, axis=2)                  # [B,n_tab,K,NT]
+
     def layer(carry, inp):
         x, kc, vc, cc, ksc, vsc = carry
         bp, lix = inp
@@ -796,19 +835,78 @@ def verify_step(iw: InferenceWeights, tokens: jax.Array,
         if cfg.arch == 'llama':
             q = _apply_rope_1(q, wpos, cfg.rope_base)
             k_new = _apply_rope_1(k_new, wpos, cfg.rope_base)
-
-        # ---- insert the K new columns into this layer's cache slices
-        k_l = jax.lax.dynamic_slice(kc, (0, 0, lix * nt, 0, 0),
-                                    (b, kv, nt, dh, TILE))
-        v_l = jax.lax.dynamic_slice(vc, (0, 0, lix * nt, 0, 0),
-                                    (b, kv, nt, dh, TILE))
-        c_l = jax.lax.dynamic_slice(cc, (0, 0, lix * nt, 0, 0),
-                                    (b, kv, nt, cc.shape[3], TILE))
         if sparse:
             codes_q = _encode_codes(cfg, bp['mha']['quantizer'],
                                     q.reshape(b, kv, g, kk, dh))
             c_new = _encode_codes(cfg, bp['mha']['quantizer'], k_new)
-            c_l = insert_cols(c_l, c_new.astype(jnp.int32))
+            c_li = insert_cols(
+                jax.lax.dynamic_slice(cc, (0, 0, lix * nt, 0, 0),
+                                      (b, kv, nt, cc.shape[3], TILE)),
+                c_new.astype(jnp.int32))
+            keep = select_tiles(c_li, codes_q)            # [B,n_tab,K,NT]
+
+        if use_kernel:
+            from spt_proto_tpu.ops.pallas.decode_attention import (
+                verify_attention_rows)
+            w0r = pos0 // TILE
+            w1r = (pos0 + kk - 1) // TILE
+            if sparse:
+                keep_h = jnp.repeat(keep, gsel, axis=1)   # [B,KV,K,NT]
+                jbit = (1 << jnp.arange(kk, dtype=jnp.int32))
+                bits = (keep_h.astype(jnp.int32)
+                        * jbit[None, None, :, None]).sum(axis=2)
+                tiles_i = jnp.arange(nt)
+                is_w = ((tiles_i[None, None] == w0r[:, None, None])
+                        | (tiles_i[None, None] == w1r[:, None, None]))
+                union = keep_h.any(axis=2) & ~is_w
+                if t_sel > 0:
+                    vals, idx = jax.lax.top_k(
+                        union.astype(jnp.float32), t_sel)
+                    ent = jnp.where(vals > 0, idx.astype(jnp.int32), -1)
+                else:
+                    ent = jnp.zeros((b, kv, 0), jnp.int32)
+                clamp = cfg.score_clamp
+            else:
+                e_i = jnp.arange(nt, dtype=jnp.int32)
+                ent = jnp.broadcast_to(
+                    jnp.where(e_i[None, None] < w0r[:, None, None],
+                              e_i[None, None], -1), (b, kv, nt))
+                bits = jnp.full((b, kv, nt), (1 << kk) - 1, jnp.int32)
+                clamp = 0.0
+            wcols = jnp.broadcast_to(
+                jnp.stack([w0r, w1r], -1)[:, None], (b, kv, 2))
+            ent = jnp.concatenate([ent, wcols], axis=-1).astype(jnp.int32)
+            ebits = jnp.take_along_axis(bits, jnp.maximum(ent, 0),
+                                        axis=-1)
+            ebits = jnp.where(ent >= 0, ebits, 0)
+            dup = (w0r == w1r)[:, None]
+            ebits = ebits.at[..., -2].set(
+                jnp.where(dup, 0, ebits[..., -2]))
+            tables = jnp.where(ent >= 0, ent + lix * nt, -1)
+            cn_k = (c_new.transpose(0, 1, 3, 2).astype(jnp.int32)
+                    if sparse else
+                    jnp.zeros((b, kv, cc.shape[3], kk), jnp.int32))
+            o, kc, vc, cc = verify_attention_rows(
+                q.reshape(b, kv, g, kk, dh).reshape(b, kv, g * kk, dh),
+                kc, vc, cc, tables, ebits, pos0,
+                k_new.transpose(0, 1, 3, 2).astype(kc.dtype),
+                v_new.transpose(0, 1, 3, 2).astype(vc.dtype), cn_k,
+                jnp.full((b,), lix * nt, jnp.int32),
+                ps=TILE, scale=scale, clamp=clamp)
+            o = o.reshape(b, kv, g, kk, dh).transpose(0, 3, 1, 2, 4
+                                                      ).reshape(
+                b, kk, cfg.d_model)
+            x = x + _dense(bp['mha']['o'], o)
+            x = x + _ffn(cfg, bp['ffn'], _norm(cfg, bp['norm2'], x))
+            return (x, kc, vc, cc, ksc, vsc), None
+
+        # ---- jnp path: insert the K new columns into the layer slices
+        k_l = jax.lax.dynamic_slice(kc, (0, 0, lix * nt, 0, 0),
+                                    (b, kv, nt, dh, TILE))
+        v_l = jax.lax.dynamic_slice(vc, (0, 0, lix * nt, 0, 0),
+                                    (b, kv, nt, dh, TILE))
+        if sparse:
+            c_l = c_li
         if quantized:
             k8, ks_new = _quantize_kv(k_new)   # [B,KV,K,D] + [B,KV,K]
             v8, vs_new = _quantize_kv(v_new)
@@ -852,32 +950,9 @@ def verify_step(iw: InferenceWeights, tokens: jax.Array,
                             preferred_element_type=jnp.float32) * scale
         if sparse:
             scores = jnp.clip(scores, -cfg.score_clamp, cfg.score_clamp)
-            keep_j = []
-            for j in range(kk):
-                cq = codes_q[:, :, :, j]                  # [B,KV,G,n_sub]
-                match = jnp.sum(
-                    (c_l[:, :, None] == cq[:, :, :, None, :, None]
-                     ).astype(jnp.float32), axis=4)       # [B,KV,G,NT,T]
-                tsc = match.mean(axis=(2, 4))             # [B, KV, NT]
-                if gsel > 1:
-                    tsc = tsc.reshape(b, n_tab, gsel, nt).mean(2)
-                cur_j = tile_r[:, j]                      # [B]
-                full_t = jnp.arange(nt)[None, :] < cur_j[:, None]
-                tsc = jnp.where(full_t[:, None], tsc, -jnp.inf)
-                sel = jnp.zeros((b, n_tab, nt), bool)
-                if nsel > 1:
-                    svals, sidx = jax.lax.top_k(tsc, nsel - 1)
-                    oh = ((jnp.arange(nt)[None, None, None]
-                           == sidx[..., None])
-                          & (svals > -jnp.inf)[..., None])
-                    sel = oh.any(axis=2)
-                sel = sel | (jnp.arange(nt)[None, None]
-                             == cur_j[:, None, None])
-                keep_j.append(sel)
-            keep = jnp.stack(keep_j, axis=2)              # [B,n_tab,K,NT]
-            keep = jnp.repeat(keep, gsel * g, axis=1)     # [B, H, K, NT]
-            keep = jnp.repeat(keep, TILE, axis=3)         # [B, H, K, S]
-            allowed = keep & causal[:, None]
+            keep_s = jnp.repeat(keep, gsel * g, axis=1)   # [B, H, K, NT]
+            keep_s = jnp.repeat(keep_s, TILE, axis=3)     # [B, H, K, S]
+            allowed = keep_s & causal[:, None]
         else:
             allowed = jnp.broadcast_to(causal[:, None],
                                        scores.shape)

@@ -1596,3 +1596,282 @@ def decode_attention_rows_ref(q, k_cache, v_cache, c_cache, tables,
     p = jnp.where(ok[:, :, None], p, 0.0)
     o = jnp.einsum('bkgtp,bktdp->bkgd', p.astype(vg.dtype), vg)
     return o.astype(q.dtype), k_cache, v_cache, c_cache
+
+
+# ---------------------------------------------------------------------------
+# v4: block-verify kernel (speculative decoding)
+# ---------------------------------------------------------------------------
+#
+# verify_attention_rows scores K=draft_depth+1 query columns per slot
+# against a per-head table of tiles (the UNION of every query's decode
+# selection), appends the block's K new K/V (+code) columns in place, and
+# masks per (query, lane) so each query sees EXACTLY what a sequential
+# decode_step at its position would (engine.verify_step builds the table
+# + a per-entry K-bit visibility mask encoding that contract). One kernel
+# call per layer replaces K sequential decode kernel calls — speculative
+# decoding's win is the per-step fixed cost (docs/PERF.md "decode
+# floor"), and the MXU does K query rows for the price of one.
+#
+# Structure: grid (B,); per program a Python-unrolled loop over kv heads
+# with NBUF-deep double-buffered tile staging (head h+1's DMAs are issued
+# before head h's math runs). The K new columns can span at most TWO
+# cache tiles (kk <= ps); the table's LAST TWO entries must be those
+# write tiles (duplicated when equal — the wrapper zeroes the duplicate's
+# visibility bits so no lane is counted twice).
+
+def _verify_kernel(tables, selm, pos, tile_base,                     # SMEM
+                   q_ref, k_ref, v_ref, c_ref, kn_ref, vn_ref, cn_ref,
+                   tabv_ref, selv_ref,
+                   o_ref, k_out, v_out, c_out,
+                   kbuf, vbuf, c_scr,
+                   sem_l, sem_w, sem_c,
+                   *, ps: int, t_max: int, kk: int, scale: float,
+                   clamp: float, write_codes: bool, kv: int):
+    b = pl.program_id(0)
+    gk = q_ref.shape[2]                 # G * K rows per head
+    d = q_ref.shape[3]
+    p_b = pos[b]
+    base = tile_base[b]
+    lh = t_max * ps
+
+    # ---- codes: read both write-tile slabs (all heads in one DMA each),
+    # merge the K new code columns, write back. If the two write tiles
+    # coincide the slabs merge identically and the duplicate write is a
+    # same-bytes no-op.
+    if write_codes:
+        for t in range(2):
+            e = t_max - 2 + t
+            tid = jnp.maximum(tables[b, 0, e], 0)
+            pltpu.make_async_copy(
+                c_ref.at[pl.ds(b, 1), :, pl.ds(tid, 1)],
+                c_scr.at[pl.ds(t, 1), 0], sem_c.at[t]).start()
+        ccols = jax.lax.broadcasted_iota(jnp.int32, c_scr.shape, 5)
+        for t in range(2):
+            e = t_max - 2 + t
+            tid = jnp.maximum(tables[b, 0, e], 0)
+            pltpu.make_async_copy(
+                c_ref.at[pl.ds(b, 1), :, pl.ds(tid, 1)],
+                c_scr.at[pl.ds(t, 1), 0], sem_c.at[t]).wait()
+            merged = c_scr[pl.ds(t, 1)]
+            for i in range(kk):
+                t_i = base + (p_b + i) // ps
+                c_i = jax.lax.rem(p_b + i, ps)
+                cn = cn_ref[0, :, :, pl.ds(i, 1)]       # [kv, n_sub, 1]
+                hit = (tid == t_i) & (ccols[t:t + 1] == c_i)
+                merged = jnp.where(hit, cn[None, None, :, None], merged)
+            c_scr[pl.ds(t, 1)] = merged
+            pltpu.make_async_copy(
+                c_scr.at[pl.ds(t, 1), 0],
+                c_out.at[pl.ds(b, 1), :, pl.ds(tid, 1)],
+                sem_c.at[t]).start()
+
+    # ---- per-head tile staging with NBUF-deep lookahead
+    def issue(h):
+        slot = h % NBUF
+        cs = []
+        for e in range(t_max):
+            tid = jnp.maximum(tables[b, h, e], 0)
+            ck = pltpu.make_async_copy(
+                k_ref.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, 1)],
+                kbuf.at[pl.ds(slot, 1), :, :, :, pl.ds(e * ps, ps)],
+                sem_l.at[slot])
+            cv = pltpu.make_async_copy(
+                v_ref.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, 1)],
+                vbuf.at[pl.ds(slot, 1), :, :, :, pl.ds(e * ps, ps)],
+                sem_l.at[slot])
+            ck.start()
+            cv.start()
+            cs.append((ck, cv))
+        return cs
+
+    live = {}
+    for h in range(min(NBUF, kv)):
+        live[h] = issue(h)
+
+    lane5 = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, 1, d, ps), 4)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, lh), 1)
+    col_lane = jax.lax.rem(lane_i, ps)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (gk, 1), 0)
+    k_r = jax.lax.rem(row_i, kk)                         # [gk, 1]
+    bitmask = jnp.left_shift(jnp.int32(1), k_r)          # [gk, 1]
+    writes = {}
+    for h in range(kv):
+        slot = h % NBUF
+        for ck, cv in live.pop(h):
+            ck.wait()
+            cv.wait()
+        # ---- merge the K new columns into the two write-tile entries
+        for t in range(2):
+            e = t_max - 2 + t
+            tid_e = tables[b, h, e]
+            kseg = kbuf[pl.ds(slot, 1), :, :, :, pl.ds(e * ps, ps)]
+            vseg = vbuf[pl.ds(slot, 1), :, :, :, pl.ds(e * ps, ps)]
+            for i in range(kk):
+                t_i = base + (p_b + i) // ps
+                c_i = jax.lax.rem(p_b + i, ps)
+                hit = (tid_e == t_i) & (lane5 == c_i)
+                kn = kn_ref[0, pl.ds(h, 1), :, pl.ds(i, 1)]  # [1, d, 1]
+                vn = vn_ref[0, pl.ds(h, 1), :, pl.ds(i, 1)]
+                kseg = jnp.where(hit, kn[None, None], kseg)
+                vseg = jnp.where(hit, vn[None, None], vseg)
+            kbuf[pl.ds(slot, 1), :, :, :, pl.ds(e * ps, ps)] = kseg
+            vbuf[pl.ds(slot, 1), :, :, :, pl.ds(e * ps, ps)] = vseg
+        # ---- write the two (merged) write tiles back
+        wl = []
+        for t in range(2):
+            e = t_max - 2 + t
+            tid = jnp.maximum(tables[b, h, e], 0)
+            wk = pltpu.make_async_copy(
+                kbuf.at[pl.ds(slot, 1), :, :, :, pl.ds(e * ps, ps)],
+                k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, 1)],
+                sem_w.at[slot, t, 0])
+            wv = pltpu.make_async_copy(
+                vbuf.at[pl.ds(slot, 1), :, :, :, pl.ds(e * ps, ps)],
+                v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, 1)],
+                sem_w.at[slot, t, 1])
+            wk.start()
+            wv.start()
+            wl.append((wk, wv))
+        writes[h] = wl
+        # ---- attention for this head: [GK, D] x [D, t_max*ps]
+        q_h = q_ref[0, pl.ds(h, 1)][0].astype(jnp.float32)   # [gk, d]
+        kmat = kbuf[pl.ds(slot, 1)][0, 0, 0]                 # [d, lh]
+        sc = jax.lax.dot_general(
+            q_h, kmat.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if clamp > 0.0:
+            sc = jnp.clip(sc, -clamp, clamp)
+        tv = tabv_ref[0, h]                                  # [t_max]
+        sv = selv_ref[0, h]
+        tid_lane = jnp.broadcast_to(tv[:, None], (t_max, ps)
+                                    ).reshape(1, lh)
+        sel_lane = jnp.broadcast_to(sv[:, None], (t_max, ps)
+                                    ).reshape(1, lh)
+        g_pos = (tid_lane - base) * ps + col_lane
+        ok = ((tid_lane >= 0)
+              & ((sel_lane & bitmask) != 0)
+              & (g_pos <= p_b + k_r))
+        sc = jnp.where(ok, sc, NEG_INF)
+        m = sc.max(axis=-1, keepdims=True)
+        e_x = jnp.where(ok, jnp.exp(sc - m), 0.0)
+        l = jnp.sum(e_x, axis=-1, keepdims=True)
+        vmat = vbuf[pl.ds(slot, 1)][0, 0, 0]                 # [d, lh]
+        pv = jax.lax.dot_general(
+            e_x.astype(vmat.dtype), vmat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = pv / jnp.maximum(l, 1e-30)
+        if h + NBUF < kv:
+            # this slot's write-back DMAs read kbuf/vbuf[slot]; they must
+            # land before head h+NBUF's tile reads overwrite the slot
+            for wk, wv in writes.pop(h):
+                wk.wait()
+                wv.wait()
+            live[h + NBUF] = issue(h + NBUF)
+        o_ref[0, pl.ds(h, 1)] = out[None].astype(o_ref.dtype)
+
+    for wl in writes.values():
+        for wk, wv in wl:
+            wk.wait()
+            wv.wait()
+    if write_codes:
+        for t in range(2):
+            e = t_max - 2 + t
+            tid = jnp.maximum(tables[b, 0, e], 0)
+            pltpu.make_async_copy(
+                c_scr.at[pl.ds(t, 1), 0],
+                c_out.at[pl.ds(b, 1), :, pl.ds(tid, 1)],
+                sem_c.at[t]).wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=('ps', 'scale', 'clamp', 'interpret'))
+def verify_attention_rows(q, k_cache, v_cache, c_cache, tables, sel_mask,
+                          pos, k_new, v_new, c_new, tile_base=None, *,
+                          ps: int = 128, scale: float = 1.0,
+                          clamp: float = 0.0,
+                          interpret: Optional[bool] = None):
+    """Block-verify attention + in-place K-column append (speculative
+    decoding; see engine.verify_step for the semantics contract).
+
+    q [B, KV, G*K, D] (row r of a head = query group r // K, block
+    position r % K); caches tile-major as decode_attention_rows;
+    tables [B, KV, T] PHYSICAL tile ids, -1 padding, LAST TWO entries =
+    the block's write tiles (first may duplicate the second when the
+    block stays within one tile — its sel_mask must then be 0);
+    sel_mask [B, KV, T] int32, bit j = block position j may attend this
+    entry's tile (tile-level visibility; within-tile causality is the
+    kernel's g_pos <= pos + j rule). pos [B] = pre-block lengths;
+    k_new/v_new [B, KV, D, K]; c_new [B, KV, n_sub, K].
+    Returns (o [B, KV, G*K, D], k', v', c') with caches updated in place.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    b, kv, gk, d = q.shape
+    kk = k_new.shape[3]
+    assert kk <= ps, (kk, ps)
+    assert kk <= 30, 'sel_mask is an int32 bitfield'
+    assert gk % kk == 0, (gk, kk)
+    n_sub = c_cache.shape[3]
+    t_max = tables.shape[2]
+    assert t_max >= 2, t_max
+    assert tables.shape[1] == kv, 'verify tables are per-head'
+    write_codes = n_sub > 1
+    vmem_mb = NBUF * 2 * t_max * ps * d * k_cache.dtype.itemsize / 2**20
+    assert vmem_mb < 12, (
+        f'staged K/V buffers need {vmem_mb:.1f} MB VMEM — reduce the '
+        f'table width (t_max)')
+    if tile_base is None:
+        tile_base = jnp.zeros((b,), jnp.int32)
+    scratch = [
+        pltpu.VMEM((NBUF, 1, 1, d, t_max * ps), k_cache.dtype),
+        pltpu.VMEM((NBUF, 1, 1, d, t_max * ps), v_cache.dtype),
+        pltpu.VMEM((2, 1, kv, 1, n_sub, ps), c_cache.dtype),
+        pltpu.SemaphoreType.DMA((NBUF,)),
+        pltpu.SemaphoreType.DMA((NBUF, 2, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, kv, gk, d), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((1, kv, d, kk), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, kv, d, kk), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, kv, n_sub, kk), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, kv, t_max), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, kv, t_max), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kv, gk, d), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        scratch_shapes=scratch,
+    )
+    kernel = functools.partial(_verify_kernel, ps=ps, t_max=t_max, kk=kk,
+                               scale=scale, clamp=clamp,
+                               write_codes=write_codes, kv=kv)
+    o, k2, v2, c2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kv, gk, d), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(c_cache.shape, c_cache.dtype),
+        ],
+        # flattened inputs: 4 scalars, q=4, k_cache=5, v_cache=6,
+        # c_cache=7, k_new=8, v_new=9, c_new=10, tables(vmem)=11,
+        # sel_mask(vmem)=12
+        input_output_aliases={5: 1, 6: 2, 7: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel',)),
+        interpret=interpret,
+    )(tables, sel_mask, pos, tile_base, q, k_cache, v_cache, c_cache,
+      k_new, v_new, c_new, tables, sel_mask)
+    return o, k2, v2, c2

@@ -28,14 +28,16 @@ SPARSE = dict(attention='sparse_v2', d_codeword=4, n_codewords=8,
               sparse_coeff=4)
 
 
+@pytest.mark.parametrize('impl', ['kernel', 'jnp'])
 @pytest.mark.parametrize('arch,kw', [
     ('opt', {}),
     ('llama', {}),
     ('opt', SPARSE),
 ], ids=['opt-dense', 'llama-dense', 'opt-sparse'])
-def test_verify_step_matches_sequential_decode(arch, kw):
+def test_verify_step_matches_sequential_decode(arch, kw, impl):
     """One K-column verify block must reproduce K sequential decode_step
-    logits AND leave the same cache behind."""
+    logits AND leave the same cache behind — via the fused Pallas verify
+    kernel (interpret mode off-TPU) and the jnp fallback."""
     cfg, iw = setup_model(arch, **kw)
     rng = jax.random.PRNGKey(1)
     prompts = jax.random.randint(rng, (2, 8), 0, cfg.vocab_size)
@@ -54,7 +56,9 @@ def test_verify_step_matches_sequential_decode(arch, kw):
 
     cache_b = KVCache.create(cfg, 2, 32, dtype=jnp.float32)
     _, cache_b = jax.jit(prefill)(iw, prompts, cache_b)
-    blk_logits, cache_b = jax.jit(verify_step)(iw, block, cache_b)
+    blk_logits, cache_b = jax.jit(verify_step,
+                                  static_argnames=('impl',))(
+        iw, block, cache_b, impl=impl)
 
     np.testing.assert_allclose(np.asarray(blk_logits),
                                np.asarray(seq_logits), atol=5e-4)
@@ -68,7 +72,8 @@ def test_verify_step_matches_sequential_decode(arch, kw):
                                   np.asarray(cache_b.codes))
 
 
-def test_verify_step_across_tile_boundary_sparse():
+@pytest.mark.parametrize('impl', ['kernel', 'jnp'])
+def test_verify_step_across_tile_boundary_sparse(impl):
     """Block verify spanning a 128-token tile boundary: mid-block, a tile
     fills up and becomes eligible for PQ selection — parity with the
     sequential path must hold through the transition."""
@@ -89,7 +94,9 @@ def test_verify_step_across_tile_boundary_sparse():
     seq_logits = jnp.stack(seq_logits, axis=1)
     cache_b = KVCache.create(cfg, 1, 512, dtype=jnp.float32)
     _, cache_b = jax.jit(prefill)(iw, prompts, cache_b)
-    blk_logits, cache_b = jax.jit(verify_step)(iw, block, cache_b)
+    blk_logits, cache_b = jax.jit(verify_step,
+                                  static_argnames=('impl',))(
+        iw, block, cache_b, impl=impl)
     np.testing.assert_allclose(np.asarray(blk_logits),
                                np.asarray(seq_logits), atol=1e-3)
     np.testing.assert_array_equal(
