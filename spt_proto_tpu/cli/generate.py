@@ -36,9 +36,11 @@ def main(argv=None):
                         'across engine steps (multiple of 128; '
                         '--continuous only)')
     p.add_argument('--speculative', action='store_true',
-                   help='greedy speculative decoding (lossless: output '
-                        'matches plain greedy). Drafts with --draft_ckpt '
-                        'if given, else prompt-lookup (n-gram) proposals')
+                   help='speculative decoding (lossless: greedy output '
+                        'matches plain greedy; sampled output matches the '
+                        'warped target distribution). Drafts with '
+                        '--draft_ckpt if given, else prompt-lookup '
+                        '(n-gram) proposals')
     p.add_argument('--draft_ckpt', type=str, default=None,
                    help='draft model checkpoint dir for --speculative')
     p.add_argument('--spec_k', type=int, default=4,
@@ -78,8 +80,6 @@ def main(argv=None):
         for text, new in zip(prompts, outs):
             print(repr(text), '->', repr(tok.decode(new)))
     elif args.speculative:
-        assert args.temperature == 0.0, \
-            'speculative decoding is greedy-only (temperature 0)'
         from spt_proto_tpu.inference.speculative import generate_speculative
         draft = None
         if args.draft_ckpt:
@@ -97,7 +97,9 @@ def main(argv=None):
         out, stats = generate_speculative(
             iw, jnp.asarray(batch), args.max_new_tokens, draft=draft,
             k=args.spec_k, eos_id=tok.eos_token_id,
-            lengths=jnp.asarray(lengths), quantized_kv=args.quantized_kv)
+            lengths=jnp.asarray(lengths), quantized_kv=args.quantized_kv,
+            temperature=args.temperature, top_k=args.top_k,
+            top_p=args.top_p, rng=jax.random.PRNGKey(args.seed))
         for i, text in enumerate(prompts):
             new = np.asarray(out)[i, width:]
             print(repr(text), '->', repr(tok.decode(new)))

@@ -1034,12 +1034,13 @@ def grow_cache(cache: KVCache, new_len: int, n_layers: int) -> KVCache:
 # sampling + generate
 # ---------------------------------------------------------------------------
 
-def sample(logits: jax.Array, rng: Optional[jax.Array] = None, *,
-           temperature: float = 0.0, top_k: Optional[int] = None,
-           top_p: Optional[float] = None) -> jax.Array:
-    """Greedy (temperature 0) / temperature / top-k / nucleus sampling."""
-    if temperature == 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+def warp_logits(logits: jax.Array, *, temperature: float,
+                top_k: Optional[int] = None,
+                top_p: Optional[float] = None) -> jax.Array:
+    """Temperature / top-k / nucleus warping (f32 logits out). The warped
+    softmax IS the sampling distribution — speculative rejection sampling
+    (inference/speculative.py) matches it exactly by warping draft and
+    target the same way."""
     logits = logits.astype(jnp.float32) / temperature
     if top_k is not None:
         kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
@@ -1051,6 +1052,17 @@ def sample(logits: jax.Array, rng: Optional[jax.Array] = None, *,
         cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
         logits = jnp.where(logits >= cutoff, logits, NEG_INF)
+    return logits
+
+
+def sample(logits: jax.Array, rng: Optional[jax.Array] = None, *,
+           temperature: float = 0.0, top_k: Optional[int] = None,
+           top_p: Optional[float] = None) -> jax.Array:
+    """Greedy (temperature 0) / temperature / top-k / nucleus sampling."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = warp_logits(logits, temperature=temperature, top_k=top_k,
+                         top_p=top_p)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 

@@ -22,10 +22,13 @@ North-star addition — the reference has no inference path at all
     matching n-gram in the already-generated stream — zero extra
     weights, pure host-side numpy between steps.
 
-Greedy only (temperature 0): acceptance is exact token match, which is
-the regime where speculative decoding preserves the output distribution
-trivially. (Stochastic rejection sampling is a straightforward extension
-but needs per-position target/draft probs; not wired yet.)
+Two acceptance regimes:
+  * temperature 0 (greedy): acceptance is exact token match — the
+    output EQUALS plain greedy generate() token for token.
+  * temperature > 0: standard draft/target rejection sampling
+    (spec_accept) over temperature/top-k/top-p-warped distributions —
+    the emitted tokens are distributed exactly as ancestral sampling
+    from the warped target (verified distributionally in tests).
 """
 from __future__ import annotations
 
@@ -38,8 +41,55 @@ import numpy as np
 
 from spt_proto_tpu.inference.engine import (
     DECODE_BUCKET, KVCache, decode_step, grow_cache, prefill, round_up,
-    verify_step)
+    sample, verify_step, warp_logits)
 from spt_proto_tpu.inference.weights import InferenceWeights
+
+
+def spec_accept(p_logits: jax.Array, q_logits: Optional[jax.Array],
+                props: jax.Array, rng: jax.Array, *, temperature: float,
+                top_k: Optional[int] = None, top_p: Optional[float] = None
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Stochastic speculative acceptance (the standard draft/target
+    rejection-sampling rule): proposal x_i ~ q_i is accepted with
+    probability min(1, p_i(x_i)/q_i(x_i)); the first rejection resamples
+    from norm(max(p_i - q_i, 0)); if all k are accepted the extra token
+    is a plain sample from p_k. The emitted sequence is then distributed
+    EXACTLY as ancestral sampling from the (warped) target — the
+    lossless-acceleration guarantee, tested distributionally in
+    tests/test_speculative.py.
+
+    p_logits [B, k+1, V] target block logits; q_logits [B, k, V] draft
+    logits, or None for deterministic (point-mass) drafts like n-gram
+    lookup — the rule then degenerates to accept-with-prob-p_i(x_i) and
+    a zeroed-proposal residual. Both sides are warped with the SAME
+    temperature/top_k/top_p. Returns (n_acc [B], correction token [B]).
+    """
+    b, k = props.shape
+    p = jax.nn.softmax(warp_logits(p_logits, temperature=temperature,
+                                   top_k=top_k, top_p=top_p), axis=-1)
+    if q_logits is None:
+        q = jax.nn.one_hot(props, p.shape[-1], dtype=jnp.float32)
+    else:
+        q = jax.nn.softmax(warp_logits(q_logits, temperature=temperature,
+                                       top_k=top_k, top_p=top_p), axis=-1)
+    p_i = jnp.take_along_axis(p[:, :k], props[..., None], -1)[..., 0]
+    q_i = jnp.take_along_axis(q, props[..., None], -1)[..., 0]
+    rng_u, rng_c = jax.random.split(rng)
+    u = jax.random.uniform(rng_u, (b, k))
+    acc = u < jnp.minimum(1.0, p_i / jnp.maximum(q_i, 1e-20))
+    n_acc = jnp.cumprod(acc.astype(jnp.int32), axis=1).sum(axis=1)
+    # correction at position n_acc: residual for a rejection, plain
+    # target sample for the all-accepted bonus (q row k is zero)
+    q_pad = jnp.concatenate([q, jnp.zeros_like(q[:, :1])], axis=1)
+    p_star = jnp.take_along_axis(p, n_acc[:, None, None], 1)[:, 0]
+    q_star = jnp.take_along_axis(q_pad, n_acc[:, None, None], 1)[:, 0]
+    resid = jnp.maximum(p_star - q_star, 0.0)
+    s = resid.sum(axis=-1, keepdims=True)
+    resid = jnp.where(s > 1e-12, resid / s, p_star)
+    tok = jax.random.categorical(
+        rng_c, jnp.log(jnp.maximum(resid, 1e-38)), axis=-1
+        ).astype(jnp.int32)
+    return n_acc, tok
 
 
 def ngram_propose(stream: np.ndarray, lens: np.ndarray, k: int,
@@ -80,21 +130,30 @@ def generate_speculative(
         draft: Optional[InferenceWeights] = None, k: int = 4,
         max_len: Optional[int] = None, eos_id: Optional[int] = None,
         lengths: Optional[jax.Array] = None, quantized_kv: bool = False,
-        ngram_max_n: int = 3,
+        ngram_max_n: int = 3, temperature: float = 0.0,
+        top_k: Optional[int] = None, top_p: Optional[float] = None,
+        rng: Optional[jax.Array] = None,
         ) -> Tuple[jax.Array, dict]:
-    """Greedy speculative generate. prompts [B, S0] -> (tokens
+    """Speculative generate. prompts [B, S0] -> (tokens
     [B, S0 + max_new_tokens], stats).
 
     draft=None uses prompt-lookup (n-gram) drafting; otherwise `draft`
-    is a (smaller) InferenceWeights whose greedy continuations propose
-    the block. Output is exactly greedy generate()'s for the same
-    `max_len` (give both the same max_len for bit-matching runs: the
-    cache bucket size participates in sparse tile selection).
+    is a (smaller) InferenceWeights whose continuations propose the
+    block. temperature 0 (greedy): output is exactly greedy generate()'s
+    for the same `max_len` (give both the same max_len for bit-matching
+    runs: the cache bucket size participates in sparse tile selection).
+    temperature > 0: draft proposals are SAMPLED (same
+    temperature/top_k/top_p warps) and accepted by the standard
+    rejection-sampling rule (spec_accept) — emitted tokens are
+    distributed exactly as sampling from the warped target model.
 
     stats: {'rounds', 'proposed', 'accepted', 'acceptance'} — acceptance
     is accepted/proposed over live rows.
     """
     assert k >= 1
+    stochastic = temperature > 0.0
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    warps = dict(temperature=temperature, top_k=top_k, top_p=top_p)
     b, s0 = prompts.shape
     kk = k + 1
     # room for a full verify block past the last committed token
@@ -126,7 +185,8 @@ def generate_speculative(
             # distinct buffer from the target cache's (both donate)
             dcache = dataclasses.replace(dcache, length=lengths.copy())
 
-    pending = jnp.argmax(last, axis=-1).astype(jnp.int32)   # [B]
+    rng, sub = jax.random.split(rng)
+    pending = sample(last, sub, **warps)                    # [B]
     # host-side stream: prompt + emitted tokens (drives n-gram drafting
     # and the output assembly — emission counts differ per row)
     total = s0 + max_new_tokens
@@ -165,18 +225,24 @@ def generate_speculative(
             cap = min(round_up(max_pos + kk_r, DECODE_BUCKET), limit)
             cache = grow_cache(cache, cap, iw.cfg.n_layers)
         # ---- draft k_r proposals
+        d_logits = None
         if draft is not None and k_r > 0:
             if max_pos + kk_r > dcap:
                 dcap = min(round_up(max_pos + kk_r, DECODE_BUCKET), limit)
                 dcache = grow_cache(dcache, dcap, draft.cfg.n_layers)
             d_toks = [pending]
+            dls = []
             for _ in range(k_r):
                 dl, dcache = dstep_fn(draft, d_toks[-1], dcache)
-                d_toks.append(jnp.argmax(dl, axis=-1).astype(jnp.int32))
+                dls.append(dl)
+                rng, sub = jax.random.split(rng)
+                d_toks.append(sample(dl, sub, **warps))
             # extra append so the draft cache also covers p_k (its
             # logits are unused); rollback below re-aligns both caches
             _, dcache = dstep_fn(draft, d_toks[-1], dcache)
             props = jnp.stack(d_toks[1:], axis=1)           # [B, k_r]
+            if stochastic:
+                d_logits = jnp.stack(dls, axis=1)           # [B, k_r, V]
         elif k_r > 0:
             props = jnp.asarray(
                 ngram_propose(stream, cursor, k_r, max_n=ngram_max_n),
@@ -190,9 +256,16 @@ def generate_speculative(
         # lengths — reading them before the call would touch a deleted
         # buffer after donation
         len0 = cache.length - kk_r                          # [B]
-        t_hat = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)  # [B, K]
-        match = (t_hat[:, :k_r] == props).astype(jnp.int32)
-        n_acc = jnp.cumprod(match, axis=1).sum(axis=1)      # [B] in [0,k]
+        if stochastic:
+            rng, sub = jax.random.split(rng)
+            n_acc, corr = spec_accept(vlogits, d_logits, props, sub,
+                                      **warps)
+        else:
+            t_hat = jnp.argmax(vlogits, axis=-1
+                               ).astype(jnp.int32)          # [B, K]
+            match = (t_hat[:, :k_r] == props).astype(jnp.int32)
+            n_acc = jnp.cumprod(match, axis=1).sum(axis=1)  # [B] in [0,k]
+            corr = t_hat[jnp.arange(b), n_acc]
         # ---- rollback: committed-in-cache = old + pending + accepted;
         # finished rows roll back fully so their lengths never grow
         live_j = jnp.asarray(live)
@@ -204,16 +277,16 @@ def generate_speculative(
             dcache = dataclasses.replace(dcache, length=new_len.copy())
         # ---- emit accepted prefix + the correction/bonus token
         np_props = np.asarray(props)
-        np_that = np.asarray(t_hat)
+        np_corr = np.asarray(corr)
         np_acc = np.asarray(n_acc)
         for i in range(b):
             if not live[i]:
                 continue
             emit(i, np.concatenate(
-                [np_props[i, :np_acc[i]], np_that[i, np_acc[i]:np_acc[i] + 1]]))
+                [np_props[i, :np_acc[i]], np_corr[i:i + 1]]))
             stats['proposed'] += k_r
             stats['accepted'] += int(np_acc[i])
-        pending = t_hat[jnp.arange(b), n_acc]
+        pending = corr
     stats['acceptance'] = (stats['accepted'] / stats['proposed']
                            if stats['proposed'] else 0.0)
     # output contract matches generate(): prompts at [:, :s0] (padded as

