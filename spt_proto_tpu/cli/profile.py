@@ -34,6 +34,12 @@ def main(argv=None):
                         '(the north-star regime; no reference analog)')
     p.add_argument('--quantized_kv', action='store_true',
                    help='with --decode: int8 KV cache')
+    p.add_argument('--spec_k', type=int, default=None,
+                   help='with --decode: also time a speculative verify '
+                        'block of k proposals (k+1 columns) and report '
+                        'the mechanism ceiling vs sequential decode — '
+                        'the end-to-end win is ceiling x acceptance, '
+                        'which needs trained weights to measure')
     p.add_argument('--trace_dir', type=str, default=None,
                    help='write a jax.profiler trace here')
     args = p.parse_args(argv)
@@ -71,7 +77,8 @@ def main(argv=None):
             rs.randint(1, cfg.vocab_size,
                        (args.batch_size, args.seq_length)), jnp.int32)
         cache = KVCache.create(cfg, args.batch_size,
-                               args.seq_length + n + 1, dtype=cfg.dtype,
+                               args.seq_length + n + 2 + (args.spec_k or 0),
+                               dtype=cfg.dtype,
                                quantized=args.quantized_kv)
         logits, cache = jax.jit(prefill)(iw, prompts, cache)
 
@@ -96,6 +103,40 @@ def main(argv=None):
         dt = (time.perf_counter() - t0) / n
         state = batch = None   # not used below
         toks_per_s = args.batch_size / dt
+        spec = {}
+        if args.spec_k:
+            import dataclasses
+
+            from spt_proto_tpu.inference.engine import verify_step
+            kk = args.spec_k + 1
+            block = jnp.tile(tok[:, None], (1, kk))
+
+            @jax.jit
+            def sloop(iw, block, cache):
+                def body(cache, _):
+                    lg, cache = verify_step(iw, block, cache)
+                    # roll back so every iteration verifies at the same
+                    # context (a clean per-block cost at this ctx)
+                    cache = dataclasses.replace(
+                        cache, length=cache.length - kk)
+                    return cache, jnp.sum(lg[:, -1, :8]
+                                          .astype(jnp.float32))
+                cache, accs = jax.lax.scan(body, cache, None, length=n)
+                return accs.sum(), cache
+
+            s, _ = sloop(iw, block, cache)
+            float(s)                      # compile + warm
+            t0 = time.perf_counter()
+            s, _ = sloop(iw, block, cache)
+            float(s)
+            dt_blk = (time.perf_counter() - t0) / n
+            spec = {
+                'spec_k': args.spec_k,
+                'spec_block_ms': round(dt_blk * 1e3, 3),
+                # >1 means one verify block is cheaper than the k+1
+                # decode steps it can replace (the 100%-acceptance bound)
+                'spec_ceiling_speedup': round(kk * dt / dt_blk, 2),
+            }
     elif args.backward:
         freeze = args.tuning != 'dense'
         tx = make_optimizer(params, lr=1e-4, freeze_base=freeze)
@@ -178,6 +219,7 @@ def main(argv=None):
         'step_ms': round(dt * 1e3, 3),
         'tokens_per_s': round(toks_per_s, 1),
         'memory': mem,
+        **(spec if args.decode and args.spec_k else {}),
     }))
 
 

@@ -126,3 +126,14 @@ def test_generate_cli_speculative(tiny_ckpt, capsys, monkeypatch):
     lines = capsys.readouterr().out.strip().splitlines()
     assert lines[-1].startswith('[speculative]')
     assert lines[-2] == plain
+
+
+def test_profile_cli_decode_speculative(tiny_ckpt, capsys):
+    from spt_proto_tpu.cli import profile as profile_cli
+    profile_cli.main(['--ckpt', tiny_ckpt, '--tuning', 'sparse',
+                      '--seq_length', '32', '--batch_size', '2',
+                      '--iters', '2', '--decode', '--spec_k', '3'])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out['spec_k'] == 3
+    assert out['spec_block_ms'] > 0
+    assert out['spec_ceiling_speedup'] > 0
