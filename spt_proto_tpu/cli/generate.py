@@ -73,7 +73,8 @@ def main(argv=None):
             max_len=max(len(e) for e in enc) + args.max_new_tokens,
             temperature=args.temperature, eos_id=tok.eos_token_id,
             prefill_chunk=args.prefill_chunk,
-            quantized_kv=args.quantized_kv)
+            quantized_kv=args.quantized_kv,
+            speculative=args.spec_k if args.speculative else None)
         rids = [eng.submit(e, args.max_new_tokens) for e in enc]
         by_id = {c.request_id: c.tokens for c in eng.run_until_done()}
         outs = [by_id[r] for r in rids]

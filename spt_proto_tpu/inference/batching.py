@@ -28,7 +28,7 @@ import numpy as np
 
 from spt_proto_tpu.inference.engine import (DECODE_BUCKET, TILE, KVCache,
                                             decode_step, grow_cache, prefill,
-                                            round_up, sample)
+                                            round_up, sample, verify_step)
 from spt_proto_tpu.inference.engine import prefill_chunk as _chunk_prefill
 from spt_proto_tpu.inference.weights import InferenceWeights
 
@@ -109,6 +109,33 @@ def _paged_decode_and_sample(iw, tokens, cache, active, rng, *, temperature):
     return tok, new
 
 
+@functools.partial(jax.jit, static_argnames=('temperature',),
+                   donate_argnums=(2,))
+def _verify_and_accept(iw, block, cache, active, rng, *, temperature):
+    """Speculative round for the batching engine in ONE dispatch: block
+    verify (engine.verify_step — the fused Pallas kernel on bf16 caches),
+    greedy or rejection-sampling acceptance, and rollback. Inactive lanes
+    roll back fully (their lengths never move; the garbage columns are
+    overwritten before becoming attention-visible, same argument as
+    _decode_and_sample). Returns (n_acc [B], correction token [B], cache).
+    """
+    b, kk = block.shape
+    logits, new = verify_step(iw, block, cache)
+    len0 = new.length - kk
+    if temperature == 0.0:
+        t_hat = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        match = (t_hat[:, :kk - 1] == block[:, 1:]).astype(jnp.int32)
+        n_acc = jnp.cumprod(match, axis=1).sum(axis=1)
+        corr = t_hat[jnp.arange(b), n_acc]
+    else:
+        from spt_proto_tpu.inference.speculative import spec_accept
+        n_acc, corr = spec_accept(logits, None, block[:, 1:], rng,
+                                  temperature=temperature)
+    new = dataclasses.replace(
+        new, length=jnp.where(active, len0 + 1 + n_acc, len0))
+    return n_acc, corr, new
+
+
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(6,))
 def _splice_slot(cache: KVCache, slot, mk, mv, mc, new_len,
                  n_layers) -> KVCache:
@@ -182,7 +209,8 @@ class ContinuousBatchingEngine:
                  paged: bool = False, page_size: int = 64,
                  n_pages: Optional[int] = None, seed: int = 0,
                  prefill_chunk: Optional[int] = None,
-                 quantized_kv: bool = False):
+                 quantized_kv: bool = False,
+                 speculative: Optional[int] = None):
         self.iw = iw
         self.n_slots = n_slots
         self.max_len = max_len
@@ -201,6 +229,16 @@ class ContinuousBatchingEngine:
         # int8 KV cache (per-token scales): halves cache bytes => double
         # the slots (or pages) a chip can hold
         self.quantized_kv = quantized_kv
+        # speculative=k: each engine step runs ONE verify block of k
+        # prompt-lookup (n-gram) proposals per slot instead of one decode
+        # step — lossless (greedy matches plain greedy; sampled matches
+        # the warped target), pays off when generations repeat their
+        # context. Contiguous cache only (verify_step contract).
+        if speculative is not None:
+            assert not paged, 'speculative requires the contiguous cache'
+            assert speculative >= 1
+        self.spec_k = speculative
+        self.spec_stats = dict(rounds=0, proposed=0, accepted=0)
         self._chunking: Dict[int, dict] = {}   # slot -> chunked-prefill state
         self.last_step_prefill_tokens = 0      # jitter observability
         self._lib = native_scheduler_lib()
@@ -486,6 +524,8 @@ class ContinuousBatchingEngine:
         if n_dec == 0:
             return 0
         active = np.frombuffer(mask, dtype=np.int8).astype(bool).copy()
+        if self.spec_k:
+            return self._spec_round(active)
         if not self.paged and self._live:
             need = max(self._cache_len(l) for l in self._live.values()) + 1
             if need > self.cap and self.cap < self.max_len:
@@ -508,6 +548,60 @@ class ContinuousBatchingEngine:
             self._tokens[slot] = tok
             self._report_token(slot, tok)
             produced += 1
+        return produced
+
+    def _spec_round(self, active: np.ndarray) -> int:
+        """One speculative round over the active decode batch: n-gram
+        proposals per slot (host-side, over prompt + generated), ONE
+        verify dispatch, per-slot acceptance + emission. A slot that
+        completes mid-block (budget or eos) drops the rest of its block;
+        its cache columns beyond the emitted tokens are dead and get
+        overwritten by the next admission's prefill splice."""
+        from spt_proto_tpu.inference.speculative import ngram_propose
+        lives = [(s, l) for s, l in self._live.items() if active[s]]
+        if not lives:
+            return 0
+        max_need = max(self._cache_len(l) for _, l in lives)
+        # near max_len the block shrinks so writes never exceed capacity
+        kk_r = min(self.spec_k + 1, self.max_len - max_need)
+        k_r = kk_r - 1
+        if max_need + kk_r > self.cap and self.cap < self.max_len:
+            self._grow(max_need + kk_r)
+        stream = np.zeros((self.n_slots, self.max_len), np.int64)
+        lens = np.zeros((self.n_slots,), np.int64)
+        for slot, live in lives:
+            seq = (self._prompts[live.request_id] + live.tokens
+                   )[-self.max_len:]
+            stream[slot, :len(seq)] = seq
+            lens[slot] = len(seq)
+        props = (ngram_propose(stream, lens, k_r) if k_r > 0
+                 else np.zeros((self.n_slots, 0), np.int64))
+        block = jnp.concatenate(
+            [jnp.asarray(self._tokens)[:, None],
+             jnp.asarray(props, jnp.int32)], axis=1)
+        self._rng, sub = jax.random.split(self._rng)
+        n_acc, corr, self.cache = _verify_and_accept(
+            self.iw, block, self.cache, jnp.asarray(active), sub,
+            temperature=self.temperature)
+        n_acc, corr = np.asarray(n_acc), np.asarray(corr)
+        produced = 0
+        self.spec_stats['rounds'] += 1
+        for slot, _ in lives:
+            self.spec_stats['proposed'] += k_r
+            self.spec_stats['accepted'] += int(n_acc[slot])
+            emitted = list(props[slot, :n_acc[slot]]) + [int(corr[slot])]
+            for tok in emitted:
+                live = self._live.get(slot)
+                if live is None:
+                    break               # completed mid-block
+                tok = int(tok)
+                live.tokens.append(tok)
+                live.last_token = tok
+                self._tokens[slot] = tok
+                self._report_token(slot, tok)
+                produced += 1
+            if slot in self._live:
+                self._tokens[slot] = int(corr[slot])
         return produced
 
     def run_until_done(self, max_steps: int = 10_000) -> List[Completion]:

@@ -246,3 +246,46 @@ def test_chunked_prefill_sparse_smoke():
     completions = {c.request_id: c.tokens for c in eng.run_until_done()}
     assert set(completions) == set(rids)
     assert all(len(t) == 4 for t in completions.values())
+
+
+def test_speculative_batching_matches_generate(small_model):
+    """speculative=k engine (n-gram drafting + block verify) must produce
+    the same greedy completions as the plain engine / isolated generate,
+    across slot churn and ragged prompt lengths."""
+    cfg, iw = small_model
+    rng = np.random.RandomState(7)
+    # repetitive prompts give the n-gram draft some acceptances
+    prompts = [list(rng.randint(1, 6, size=n)) * 2 for n in (4, 6, 3)]
+    eng = ContinuousBatchingEngine(iw, n_slots=2, max_len=64,
+                                   prefill_bucket=16, speculative=3)
+    rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    completions = {c.request_id: c.tokens for c in eng.run_until_done()}
+    assert set(completions) == set(rids)
+    for p, rid in zip(prompts, rids):
+        ref = generate(iw, jnp.asarray([p], jnp.int32), 6, max_len=64)
+        ref_new = list(np.asarray(ref)[0, len(p):])
+        assert completions[rid] == ref_new, (completions[rid], ref_new)
+    assert eng.spec_stats['rounds'] >= 1
+    assert all(len(completions[r]) == 6 for r in rids)
+
+
+def test_speculative_batching_sparse_and_eos():
+    cfg = tiny_config('opt', attention='sparse_v2', d_codeword=4,
+                      n_codewords=8, sparse_coeff=4
+                      ).replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    rng = np.random.RandomState(8)
+    prompts = [list(rng.randint(1, cfg.vocab_size, size=5)) for _ in range(2)]
+    # derive the first greedy token to use as eos for request 0 — it must
+    # then complete with exactly one token even mid-block
+    ref0 = np.asarray(generate(iw, jnp.asarray([prompts[0]], jnp.int32), 1,
+                               max_len=64))
+    eos = int(ref0[0, 5])
+    eng = ContinuousBatchingEngine(iw, n_slots=2, max_len=64,
+                                   prefill_bucket=16, speculative=2,
+                                   eos_id=eos)
+    rids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+    completions = {c.request_id: c.tokens for c in eng.run_until_done()}
+    assert completions[rids[0]][-1] == eos
+    assert len(completions[rids[0]]) <= 5
