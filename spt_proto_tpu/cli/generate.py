@@ -31,6 +31,9 @@ def main(argv=None):
                    help='INT8 weight-only quantized serving')
     p.add_argument('--continuous', action='store_true',
                    help='serve via the continuous batching engine')
+    p.add_argument('--prefix_cache', action='store_true',
+                   help='continuous engine: reuse KV of shared TILE-'
+                        'aligned prompt prefixes across requests')
     p.add_argument('--prefill_chunk', type=int, default=None,
                    help='chunked prefill: split prompts longer than this '
                         'across engine steps (multiple of 128; '
@@ -74,7 +77,8 @@ def main(argv=None):
             temperature=args.temperature, eos_id=tok.eos_token_id,
             prefill_chunk=args.prefill_chunk,
             quantized_kv=args.quantized_kv,
-            speculative=args.spec_k if args.speculative else None)
+            speculative=args.spec_k if args.speculative else None,
+            prefix_cache=args.prefix_cache)
         rids = [eng.submit(e, args.max_new_tokens) for e in enc]
         by_id = {c.request_id: c.tokens for c in eng.run_until_done()}
         outs = [by_id[r] for r in rids]

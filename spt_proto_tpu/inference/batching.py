@@ -184,6 +184,25 @@ def _splice_slot_q(cache: KVCache, slot, mk, mv, mc, mks, mvs, new_len,
                                v_scale=spl_sc(cache.v_scale, mvs))
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _slice_tiles(arr, nt_p, n_layers):
+    """First `nt_p` tiles of each layer block of a [1, KV, L*NTm, ., T]
+    mini-cache array (prefix extraction for the prefix cache)."""
+    one, h = arr.shape[:2]
+    nt_m = arr.shape[2] // n_layers
+    view = arr.reshape(one, h, n_layers, nt_m, *arr.shape[3:])[:, :, :, :nt_p]
+    return view.reshape(one, h, n_layers * nt_p, *arr.shape[3:])
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _slice_tiles_sc(arr, nt_p, n_layers):
+    """_slice_tiles for the int8 scale pools ([1, L*NTm, KV_pad, T])."""
+    one = arr.shape[0]
+    nt_m = arr.shape[1] // n_layers
+    view = arr.reshape(one, n_layers, nt_m, *arr.shape[2:])[:, :, :nt_p]
+    return view.reshape(one, n_layers * nt_p, *arr.shape[2:])
+
+
 @dataclasses.dataclass
 class _Live:
     request_id: int
@@ -210,7 +229,9 @@ class ContinuousBatchingEngine:
                  n_pages: Optional[int] = None, seed: int = 0,
                  prefill_chunk: Optional[int] = None,
                  quantized_kv: bool = False,
-                 speculative: Optional[int] = None):
+                 speculative: Optional[int] = None,
+                 prefix_cache: bool = False,
+                 prefix_cache_entries: int = 8):
         self.iw = iw
         self.n_slots = n_slots
         self.max_len = max_len
@@ -239,6 +260,24 @@ class ContinuousBatchingEngine:
             assert speculative >= 1
         self.spec_k = speculative
         self.spec_stats = dict(rounds=0, proposed=0, accepted=0)
+        # prefix caching: KV of TILE-aligned prompt prefixes is kept in an
+        # LRU store and spliced into a slot at admission, so requests that
+        # share a system prompt / few-shot preamble only prefill their
+        # tail (vLLM-style automatic prefix caching; no reference
+        # counterpart — the reference has no serving path, SURVEY §0).
+        # Contiguous cache only: the tail rides prefill_chunk's offset
+        # contract. Dense configs reproduce uncached outputs exactly;
+        # sparse_v2 follows prefill_chunk's per-row selection contract
+        # (selection for reused rows was made at prefix length, not full
+        # prompt length — same approximation family as chunked prefill).
+        if prefix_cache:
+            assert not paged, 'prefix_cache requires the contiguous cache'
+        self.prefix_on = prefix_cache
+        self.prefix_entries = prefix_cache_entries
+        self._prefix_store: 'Dict[tuple, dict]' = {}
+        self._prefix_lru: List[tuple] = []
+        self.prefix_hits = 0
+        self.prefix_tokens_reused = 0
         self._chunking: Dict[int, dict] = {}   # slot -> chunked-prefill state
         self.last_step_prefill_tokens = 0      # jitter observability
         self._lib = native_scheduler_lib()
@@ -318,6 +357,54 @@ class ContinuousBatchingEngine:
     def _bucketed(self, n: int) -> int:
         return max(self.bucket, -(-n // self.bucket) * self.bucket)
 
+    # ------------------------------------------------------------------
+    # prefix cache (contiguous engine only)
+    def cache_prefix(self, tokens: List[int]) -> int:
+        """Precompute and pin a shared prefix (e.g. a system prompt) in
+        the prefix cache. Only the TILE-aligned head is cacheable; returns
+        the number of tokens actually cached (0 if shorter than one tile).
+        """
+        assert self.prefix_on, 'engine built without prefix_cache=True'
+        p_len = (len(tokens) // TILE) * TILE
+        if p_len == 0:
+            return 0
+        key = tuple(int(t) for t in tokens[:p_len])
+        if key in self._prefix_store:
+            return p_len
+        mini = KVCache.create(self.iw.cfg, 1, p_len,
+                              dtype=self.iw.cfg.dtype,
+                              quantized=self.quantized_kv)
+        _, mini = self._prefill_fn(
+            self.iw, jnp.asarray([key], jnp.int32), mini)
+        self._store_prefix(key, dict(k=mini.k, v=mini.v, codes=mini.codes,
+                                     k_scale=mini.k_scale,
+                                     v_scale=mini.v_scale))
+        return p_len
+
+    def _store_prefix(self, key: tuple, entry: dict) -> None:
+        if key not in self._prefix_store:
+            self._prefix_store[key] = entry
+            self._prefix_lru.append(key)
+            if len(self._prefix_lru) > self.prefix_entries:
+                del self._prefix_store[self._prefix_lru.pop(0)]
+        else:
+            self._prefix_lru.remove(key)
+            self._prefix_lru.append(key)
+
+    def _lookup_prefix(self, cache_tokens: List[int]) -> Optional[tuple]:
+        """Longest stored key that is a STRICT prefix of the prompt (at
+        least one tail token must remain to produce sampling logits)."""
+        best = None
+        for key in self._prefix_store:
+            if len(key) < len(cache_tokens) and \
+                    (best is None or len(key) > len(best)) and \
+                    list(key) == cache_tokens[:len(key)]:
+                best = key
+        if best is not None:
+            self._prefix_lru.remove(best)
+            self._prefix_lru.append(best)
+        return best
+
     def _prefill_slot(self, slot: int, rid: int) -> None:
         prompt = self._prompts[rid]
         carry = self._carry.pop(rid, [])   # preempted partial generation
@@ -356,6 +443,34 @@ class ContinuousBatchingEngine:
                 length=self.cache.length.at[slot].set(s),
                 k_scales=mini.k_scales, v_scales=mini.v_scales)
         else:
+            hit = (self._lookup_prefix(cache_tokens) if self.prefix_on
+                   else None)
+            if hit is not None:
+                # splice the cached prefix KV into the slot, then run only
+                # the tail through the chunked-prefill machinery (offset
+                # starts at the prefix length)
+                p_len = len(hit)
+                pad_len = -(-s // TILE) * TILE
+                if pad_len > self.cap:
+                    self._grow(pad_len)
+                e = self._prefix_store[hit]
+                nl = self.iw.cfg.n_layers
+                if self.quantized_kv:
+                    self.cache = _splice_slot_q(
+                        self.cache, slot, e['k'], e['v'], e['codes'],
+                        e['k_scale'], e['v_scale'], p_len, nl)
+                else:
+                    self.cache = _splice_slot(self.cache, slot, e['k'],
+                                              e['v'], e['codes'], p_len, nl)
+                self.prefix_hits += 1
+                self.prefix_tokens_reused += p_len
+                toks = np.zeros((1, pad_len), np.int32)
+                toks[0, :s] = cache_tokens
+                self._chunking[slot] = dict(rid=rid, tokens=toks,
+                                            true_len=s, carry=carry,
+                                            done=p_len)
+                self._advance_chunk(slot)
+                return
             if self.chunk and s > self.chunk:
                 # chunked path: stash the prompt, process chunks one per
                 # engine step (first one now) — decode of other slots
@@ -376,6 +491,22 @@ class ContinuousBatchingEngine:
                                   quantized=self.quantized_kv)
             logits, mini = self._prefill_fn(self.iw, jnp.asarray(padded),
                                             mini)
+            # automatic prefix insertion: pin this prompt's TILE-aligned
+            # head so later requests sharing it skip that prefill work
+            if self.prefix_on:
+                p_len = (s // TILE) * TILE
+                key = tuple(int(t) for t in cache_tokens[:p_len])
+                if p_len and key not in self._prefix_store:
+                    nt_p, nl = p_len // TILE, self.iw.cfg.n_layers
+                    q = self.quantized_kv
+                    self._store_prefix(key, dict(
+                        k=_slice_tiles(mini.k, nt_p, nl),
+                        v=_slice_tiles(mini.v, nt_p, nl),
+                        codes=_slice_tiles(mini.codes, nt_p, nl),
+                        k_scale=_slice_tiles_sc(mini.k_scale, nt_p, nl)
+                        if q else None,
+                        v_scale=_slice_tiles_sc(mini.v_scale, nt_p, nl)
+                        if q else None))
             # splice slot cache in place; true length is s (not padded sb)
             if self.quantized_kv:
                 self.cache = _splice_slot_q(
@@ -402,7 +533,9 @@ class ContinuousBatchingEngine:
         st = self._chunking[slot]
         total = st['tokens'].shape[1]
         offset = st['done']
-        c = min(self.chunk, total - offset)
+        # self.chunk is None when only the prefix cache routed us here:
+        # the whole tail is processed as one chunk
+        c = min(self.chunk or (total - offset), total - offset)
         chunk = jnp.asarray(st['tokens'][:, offset:offset + c])
         logits, self.cache = self._chunk_fn(
             self.iw, chunk, self.cache, jnp.int32(slot), offset)

@@ -128,6 +128,29 @@ def test_generate_cli_speculative(tiny_ckpt, capsys, monkeypatch):
     assert lines[-2] == plain
 
 
+def test_generate_cli_prefix_cache(tmp_path, capsys, monkeypatch):
+    """--continuous --prefix_cache must print the same completions as the
+    plain continuous engine when prompts share a >=TILE token head."""
+    import transformers
+
+    from spt_proto_tpu.cli import generate as gen_cli
+    monkeypatch.setattr(transformers.AutoTokenizer, 'from_pretrained',
+                        staticmethod(lambda name: _CharTok()))
+    path = str(tmp_path / 'tiny512')
+    cfg = tiny_config('opt', vocab_size=64, max_length=512)
+    ckpt_io.save_checkpoint(path, cfg,
+                            surgery.init_params(cfg, jax.random.PRNGKey(1)))
+    head = 'abcd' * 33                      # 132 chars > one 128-token tile
+    common = ['--ckpt', path, '--continuous',
+              '--prompt', head + 'xy', '--prompt', head + 'zw',
+              '--max_new_tokens', '4']
+    gen_cli.main(common)
+    plain = capsys.readouterr().out.strip().splitlines()[-2:]
+    gen_cli.main(common + ['--prefix_cache'])
+    cached = capsys.readouterr().out.strip().splitlines()[-2:]
+    assert cached == plain
+
+
 def test_profile_cli_decode_speculative(tiny_ckpt, capsys):
     from spt_proto_tpu.cli import profile as profile_cli
     profile_cli.main(['--ckpt', tiny_ckpt, '--tuning', 'sparse',
