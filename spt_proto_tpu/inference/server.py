@@ -1,0 +1,174 @@
+"""HTTP serving front-end over the continuous batching engine.
+
+North-star addition (no reference counterpart — the reference has no
+serving path, SURVEY §0). Stdlib-only (http.server): one engine thread
+owns the TPU step loop, request handler threads submit into it and block
+on a condition variable until their completion lands. Endpoints:
+
+  POST /v1/completions   {"prompt": [ids...] | "text", "max_tokens": N}
+                         -> {"id", "tokens", "text"?, "n_tokens"}
+  GET  /health           -> {"ok": true}
+  GET  /stats            -> engine counters (active, queued, prefix hits,
+                            speculative acceptance, completions served)
+
+The engine is NOT thread-safe; every engine touch happens on the engine
+thread (`_loop`). Handlers only enqueue (prompt, max_tokens) tuples and
+wait. Batching across concurrent requests falls out of the engine's slot
+scheduler: requests that arrive while a step is in flight are admitted
+at the next step boundary.
+"""
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Tuple
+
+
+class ServingFrontend:
+    """Thread-safe submit/wait facade over ContinuousBatchingEngine."""
+
+    def __init__(self, engine, tokenizer=None):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self._cv = threading.Condition()
+        self._pending: List[Tuple[int, List[int], int]] = []  # ticket,...
+        self._tickets: Dict[int, Optional[List[int]]] = {}
+        self._rid_to_ticket: Dict[int, int] = {}
+        self._next_ticket = 0
+        self._stop = False
+        self.n_served = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client side ----------------------------------------------------
+    def submit(self, prompt_tokens: List[int], max_tokens: int) -> int:
+        with self._cv:
+            ticket = self._next_ticket
+            self._next_ticket += 1
+            self._tickets[ticket] = None
+            self._pending.append((ticket, list(prompt_tokens), max_tokens))
+            self._cv.notify_all()
+            return ticket
+
+    def wait(self, ticket: int, timeout: float = 300.0) -> List[int]:
+        with self._cv:
+            ok = self._cv.wait_for(
+                lambda: self._tickets.get(ticket) is not None
+                or self._stop, timeout)
+            if not ok:
+                raise TimeoutError(f'ticket {ticket} timed out')
+            if self._stop and self._tickets.get(ticket) is None:
+                raise RuntimeError('server shutting down')
+            return self._tickets.pop(ticket)
+
+    def stats(self) -> dict:
+        eng = self.engine
+        with self._cv:
+            out = dict(active=eng.num_active, queued=eng.queue_depth,
+                       pending=len(self._pending), served=self.n_served,
+                       preemptions=eng.n_preemptions)
+            if eng.prefix_on:
+                out.update(prefix_hits=eng.prefix_hits,
+                           prefix_tokens_reused=eng.prefix_tokens_reused)
+            if eng.spec_k:
+                s = eng.spec_stats
+                out.update(spec_rounds=s['rounds'],
+                           spec_acceptance=(s['accepted'] /
+                                            max(1, s['proposed'])))
+            return out
+
+    def shutdown(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=10)
+
+    # -- engine thread ----------------------------------------------------
+    def _loop(self) -> None:
+        eng = self.engine
+        while True:
+            with self._cv:
+                # sleep until there is work: a submission or live slots
+                self._cv.wait_for(
+                    lambda: self._stop or self._pending
+                    or eng.num_active or eng.queue_depth)
+                if self._stop:
+                    return
+                for ticket, toks, mx in self._pending:
+                    rid = eng.submit(toks, max_new_tokens=mx)
+                    self._rid_to_ticket[rid] = ticket
+                self._pending.clear()
+                eng.step()
+                if eng.completions:
+                    for c in eng.completions:
+                        t = self._rid_to_ticket.pop(c.request_id)
+                        self._tickets[t] = c.tokens
+                        self.n_served += 1
+                    eng.completions = []
+                    self._cv.notify_all()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    frontend: ServingFrontend = None   # set by make_server
+
+    def log_message(self, *a):          # quiet
+        pass
+
+    def _json(self, code: int, obj: dict) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header('Content-Type', 'application/json')
+        self.send_header('Content-Length', str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == '/health':
+            self._json(200, {'ok': True})
+        elif self.path == '/stats':
+            self._json(200, self.frontend.stats())
+        else:
+            self._json(404, {'error': 'unknown path'})
+
+    def do_POST(self):
+        if self.path not in ('/v1/completions', '/completions'):
+            self._json(404, {'error': 'unknown path'})
+            return
+        try:
+            n = int(self.headers.get('Content-Length', 0))
+            req = json.loads(self.rfile.read(n) or b'{}')
+            prompt = req.get('prompt')
+            fe = self.frontend
+            if isinstance(prompt, str):
+                if fe.tokenizer is None:
+                    raise ValueError('text prompt needs a tokenizer; '
+                                     'pass token ids')
+                ids = fe.tokenizer.encode(prompt)
+            elif isinstance(prompt, list):
+                ids = [int(t) for t in prompt]
+            else:
+                raise ValueError('"prompt" must be a string or id list')
+            mx = int(req.get('max_tokens', 32))
+            ticket = fe.submit(ids, mx)
+            toks = fe.wait(ticket, timeout=float(req.get('timeout', 300)))
+            out = {'id': ticket, 'tokens': toks, 'n_tokens': len(toks)}
+            if fe.tokenizer is not None:
+                out['text'] = fe.tokenizer.decode(toks)
+            self._json(200, out)
+        except (ValueError, KeyError) as e:
+            self._json(400, {'error': str(e)})
+        except TimeoutError as e:
+            self._json(504, {'error': str(e)})
+
+
+def make_server(engine, host: str = '127.0.0.1', port: int = 0,
+                tokenizer=None) -> Tuple[ThreadingHTTPServer,
+                                         ServingFrontend]:
+    """Build (but do not start) an HTTP server bound to host:port
+    (port 0 = ephemeral). Caller runs server.serve_forever(); shut down
+    with server.shutdown() then frontend.shutdown()."""
+    frontend = ServingFrontend(engine, tokenizer=tokenizer)
+    handler = type('Handler', (_Handler,), {'frontend': frontend})
+    server = ThreadingHTTPServer((host, port), handler)
+    return server, frontend

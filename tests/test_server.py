@@ -1,0 +1,84 @@
+"""HTTP serving front-end: concurrent /v1/completions requests batch
+through one engine thread and return the same greedy tokens as isolated
+generate(); /stats and /health report engine state."""
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spt_proto_tpu.config import tiny_config
+from spt_proto_tpu.inference.batching import ContinuousBatchingEngine
+from spt_proto_tpu.inference.engine import generate
+from spt_proto_tpu.inference.server import make_server
+from spt_proto_tpu.inference.weights import InferenceWeights
+from spt_proto_tpu.tuning import surgery
+
+
+@pytest.fixture(scope='module')
+def served():
+    cfg = tiny_config('opt').replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    eng = ContinuousBatchingEngine(iw, n_slots=2, max_len=64,
+                                   prefill_bucket=16)
+    server, frontend = make_server(eng, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f'http://{server.server_address[0]}:{server.server_address[1]}'
+    yield cfg, iw, url
+    server.shutdown()
+    frontend.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + '/v1/completions', data=json.dumps(payload).encode(),
+        headers={'Content-Type': 'application/json'})
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_and_unknown(served):
+    _, _, url = served
+    with urllib.request.urlopen(url + '/health', timeout=30) as r:
+        assert json.loads(r.read()) == {'ok': True}
+    status, body = _post(url, {'prompt': 'text without tokenizer'})
+    assert status == 400 and 'tokenizer' in body['error']
+    status, body = _post(url, {})
+    assert status == 400
+
+
+def test_concurrent_completions_match_generate(served):
+    cfg, iw, url = served
+    rng = np.random.RandomState(2)
+    prompts = [list(map(int, rng.randint(1, cfg.vocab_size, size=n)))
+               for n in (5, 9, 3, 7)]
+    results = [None] * len(prompts)
+
+    def worker(i):
+        status, body = _post(url, {'prompt': prompts[i], 'max_tokens': 6})
+        assert status == 200, body
+        results[i] = body['tokens']
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(prompts))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for p, got in zip(prompts, results):
+        ref = generate(iw, jnp.asarray([p], jnp.int32), 6, max_len=64)
+        ref_new = list(np.asarray(ref)[0, len(p):])
+        assert got == ref_new, (got, ref_new)
+
+    with urllib.request.urlopen(url + '/stats', timeout=30) as r:
+        stats = json.loads(r.read())
+    assert stats['served'] >= len(prompts)
+    assert stats['active'] == 0 and stats['queued'] == 0
