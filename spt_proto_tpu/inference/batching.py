@@ -737,6 +737,12 @@ class ContinuousBatchingEngine:
                 self._tokens[slot] = int(corr[slot])
         return produced
 
+    def live_progress(self) -> Dict[int, List[int]]:
+        """Snapshot of in-flight generations: {request_id: tokens so far}
+        (prompt excluded; includes tokens carried across preemptions).
+        Completed requests appear in `completions`, not here."""
+        return {l.request_id: list(l.tokens) for l in self._live.values()}
+
     def run_until_done(self, max_steps: int = 10_000) -> List[Completion]:
         steps = 0
         while (self.num_active or self.queue_depth) and steps < max_steps:

@@ -34,6 +34,7 @@ class ServingFrontend:
         self._cv = threading.Condition()
         self._pending: List[Tuple[int, List[int], int]] = []  # ticket,...
         self._tickets: Dict[int, Optional[List[int]]] = {}
+        self._progress: Dict[int, List[int]] = {}   # ticket -> tokens so far
         self._rid_to_ticket: Dict[int, int] = {}
         self._next_ticket = 0
         self._stop = False
@@ -60,7 +61,29 @@ class ServingFrontend:
                 raise TimeoutError(f'ticket {ticket} timed out')
             if self._stop and self._tickets.get(ticket) is None:
                 raise RuntimeError('server shutting down')
+            self._progress.pop(ticket, None)
             return self._tickets.pop(ticket)
+
+    def wait_progress(self, ticket: int, n_seen: int,
+                      timeout: float = 300.0
+                      ) -> Tuple[List[int], bool]:
+        """Block until the ticket has MORE than `n_seen` tokens or is
+        complete; returns (tokens so far, done). Streaming handlers call
+        this in a loop, advancing n_seen past what they have sent."""
+        with self._cv:
+            def ready():
+                if self._stop or self._tickets.get(ticket) is not None:
+                    return True
+                return len(self._progress.get(ticket, ())) > n_seen
+            if not self._cv.wait_for(ready, timeout):
+                raise TimeoutError(f'ticket {ticket} timed out')
+            done = self._tickets.get(ticket) is not None
+            if done:
+                self._progress.pop(ticket, None)
+                return self._tickets.pop(ticket), True
+            if self._stop:
+                raise RuntimeError('server shutting down')
+            return list(self._progress[ticket]), False
 
     def stats(self) -> dict:
         eng = self.engine
@@ -100,12 +123,21 @@ class ServingFrontend:
                     self._rid_to_ticket[rid] = ticket
                 self._pending.clear()
                 eng.step()
+                changed = False
+                for rid, toks in eng.live_progress().items():
+                    t = self._rid_to_ticket.get(rid)
+                    if t is not None and \
+                            len(toks) > len(self._progress.get(t, ())):
+                        self._progress[t] = toks
+                        changed = True
                 if eng.completions:
                     for c in eng.completions:
                         t = self._rid_to_ticket.pop(c.request_id)
                         self._tickets[t] = c.tokens
                         self.n_served += 1
                     eng.completions = []
+                    changed = True
+                if changed:
                     self._cv.notify_all()
 
 
@@ -150,8 +182,32 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 raise ValueError('"prompt" must be a string or id list')
             mx = int(req.get('max_tokens', 32))
+            timeout = float(req.get('timeout', 300))
             ticket = fe.submit(ids, mx)
-            toks = fe.wait(ticket, timeout=float(req.get('timeout', 300)))
+            if req.get('stream'):
+                # NDJSON streaming: one {"tokens": [...]} line per decode
+                # increment, then a final {"done": true} line
+                self.send_response(200)
+                self.send_header('Content-Type', 'application/x-ndjson')
+                self.send_header('Connection', 'close')
+                self.end_headers()
+                seen = 0
+                while True:
+                    toks, done = fe.wait_progress(ticket, seen, timeout)
+                    if len(toks) > seen:
+                        line = {'tokens': toks[seen:]}
+                        if fe.tokenizer is not None:
+                            line['text'] = fe.tokenizer.decode(toks[seen:])
+                        self.wfile.write(json.dumps(line).encode() + b'\n')
+                        self.wfile.flush()
+                        seen = len(toks)
+                    if done:
+                        self.wfile.write(json.dumps(
+                            {'done': True, 'id': ticket,
+                             'n_tokens': seen}).encode() + b'\n')
+                        self.wfile.flush()
+                        return
+            toks = fe.wait(ticket, timeout=timeout)
             out = {'id': ticket, 'tokens': toks, 'n_tokens': len(toks)}
             if fe.tokenizer is not None:
                 out['text'] = fe.tokenizer.decode(toks)

@@ -82,3 +82,48 @@ def test_concurrent_completions_match_generate(served):
         stats = json.loads(r.read())
     assert stats['served'] >= len(prompts)
     assert stats['active'] == 0 and stats['queued'] == 0
+
+
+def test_streaming_completion(served):
+    """stream=true yields incremental NDJSON token lines whose
+    concatenation equals the non-streamed greedy completion."""
+    cfg, iw, url = served
+    prompt = [4, 11, 7, 2, 9]
+    _, whole = _post(url, {'prompt': prompt, 'max_tokens': 6})
+    req = urllib.request.Request(
+        url + '/v1/completions',
+        data=json.dumps({'prompt': prompt, 'max_tokens': 6,
+                         'stream': True}).encode())
+    lines = []
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers['Content-Type'] == 'application/x-ndjson'
+        for raw in r:
+            lines.append(json.loads(raw))
+    assert lines[-1]['done'] is True
+    streamed = [t for ln in lines[:-1] for t in ln['tokens']]
+    assert streamed == whole['tokens'], (streamed, whole['tokens'])
+    assert lines[-1]['n_tokens'] == len(streamed)
+    # (line granularity is timing-dependent — the tiny model can decode
+    # the whole budget between handler wakeups; incrementality itself is
+    # covered deterministically by test_live_progress_grows)
+
+
+def test_live_progress_grows():
+    """engine.live_progress() (the streaming source) exposes tokens as
+    they decode, before the request completes."""
+    cfg = tiny_config('opt').replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(1))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    eng = ContinuousBatchingEngine(iw, n_slots=1, max_len=64,
+                                   prefill_bucket=16)
+    rid = eng.submit([3, 1, 4, 1, 5], max_new_tokens=5)
+    eng.step()       # prefill (samples token 1) + one decode (token 2)
+    snap1 = eng.live_progress()
+    assert list(snap1) == [rid] and len(snap1[rid]) == 2
+    eng.step()
+    snap2 = eng.live_progress()
+    assert len(snap2[rid]) == 3
+    assert snap2[rid][:2] == snap1[rid]
+    done = eng.run_until_done()
+    assert done[0].tokens[:3] == snap2[rid]
+    assert eng.live_progress() == {}
