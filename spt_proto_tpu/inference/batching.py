@@ -328,7 +328,11 @@ class ContinuousBatchingEngine:
 
     # ------------------------------------------------------------------
     def submit(self, prompt_tokens: List[int],
-               max_new_tokens: int = 32) -> int:
+               max_new_tokens: int = 32,
+               stop_ids: Optional[List[int]] = None) -> int:
+        """Queue a request. `stop_ids`: per-request stop tokens — the
+        generation ends early when any is produced (the stop token is
+        included in the completion, like the engine-wide eos_id)."""
         if self.paged:
             # worst case the request ever needs as the pool's sole occupant:
             # its bucketed prompt at prefill, or its full final length
@@ -343,6 +347,8 @@ class ContinuousBatchingEngine:
             raise ValueError('request cannot fit in max_len')
         self._prompts[rid] = list(prompt_tokens)
         self._max_new[rid] = max_new_tokens
+        if stop_ids:
+            self._stop_ids[rid] = {int(t) for t in stop_ids}
         return int(rid)
 
     @property
