@@ -70,12 +70,17 @@ def _bench_decode(cfg, params, batch: int, prompt_len: int, max_len: int,
         return _decode_loop(iw, logits, cache, batch, steps)
     try:
         return run_steps(iw)
-    except Exception:
+    except Exception as e:
         # the multi-slot decode kernel is the default; if it fails to
         # compile/run on this backend, fall back to the per-slot grid
-        # kernel rather than failing the whole benchmark
+        # kernel rather than failing the whole benchmark — but say so
+        # LOUDLY: a silent fallback would change what BENCH_rXX measures
         if not cfg.decode_multislot:
             raise
+        import sys
+        print(f'WARNING: multi-slot decode kernel failed '
+              f'({type(e).__name__}: {e}); falling back to the per-slot '
+              f'grid kernel — headline measures the FALLBACK', file=sys.stderr)
         return run_steps(InferenceWeights.from_params(
             cfg.replace(decode_multislot=False), params))
 

@@ -313,6 +313,7 @@ class ContinuousBatchingEngine:
                 _decode_and_sample, temperature=temperature)
         self._prompts: Dict[int, List[int]] = {}
         self._max_new: Dict[int, int] = {}
+        self._stop_ids: Dict[int, set] = {}     # rid -> per-request stops
         self._carry: Dict[int, List[int]] = {}  # preempted partial outputs
         self._live: Dict[int, _Live] = {}       # slot -> live state
         self._tokens = np.zeros((n_slots,), np.int32)
@@ -456,7 +457,15 @@ class ContinuousBatchingEngine:
                 # the tail through the chunked-prefill machinery (offset
                 # starts at the prefix length)
                 p_len = len(hit)
-                pad_len = -(-s // TILE) * TILE
+                # bucket the padded tail to the next power-of-two multiple
+                # of TILE: bounds _chunk_fn's (tail_len, offset) jit
+                # specializations to O(log(max_len/TILE)) per prefix length
+                # instead of one compile per distinct tail length
+                tail_pad = TILE
+                while p_len + tail_pad < s:
+                    tail_pad *= 2
+                smax = -(-self.max_len // TILE) * TILE
+                pad_len = min(p_len + tail_pad, smax)
                 if pad_len > self.cap:
                     self._grow(pad_len)
                 e = self._prefix_store[hit]
@@ -565,7 +574,9 @@ class ContinuousBatchingEngine:
         self._report_token(slot, tok)
 
     def _report_token(self, slot: int, tok: int) -> None:
-        eos = 1 if (self.eos_id is not None and tok == self.eos_id) else 0
+        stops = self._stop_ids.get(self._live[slot].request_id)
+        eos = 1 if ((self.eos_id is not None and tok == self.eos_id)
+                    or (stops is not None and tok in stops)) else 0
         done = self._lib.sched_token_decoded(self._sched, slot,
                                              ctypes.c_int8(eos))
         if done:
@@ -573,6 +584,7 @@ class ContinuousBatchingEngine:
             self.completions.append(Completion(live.request_id, live.tokens))
             self._prompts.pop(live.request_id, None)
             self._max_new.pop(live.request_id, None)
+            self._stop_ids.pop(live.request_id, None)
             if self.paged:
                 self.alloc.release(slot)
                 self.cache = dataclasses.replace(

@@ -35,6 +35,7 @@ class ServingFrontend:
         self._pending: List[Tuple[int, List[int], int]] = []  # ticket,...
         self._tickets: Dict[int, Optional[List[int]]] = {}
         self._progress: Dict[int, List[int]] = {}   # ticket -> tokens so far
+        self._errors: Dict[int, str] = {}           # ticket -> submit error
         self._rid_to_ticket: Dict[int, int] = {}
         self._next_ticket = 0
         self._stop = False
@@ -56,13 +57,24 @@ class ServingFrontend:
         with self._cv:
             ok = self._cv.wait_for(
                 lambda: self._tickets.get(ticket) is not None
-                or self._stop, timeout)
+                or ticket in self._errors or self._stop, timeout)
             if not ok:
+                self._abandon(ticket)
                 raise TimeoutError(f'ticket {ticket} timed out')
+            if ticket in self._errors:
+                raise ValueError(self._errors.pop(ticket))
             if self._stop and self._tickets.get(ticket) is None:
                 raise RuntimeError('server shutting down')
             self._progress.pop(ticket, None)
             return self._tickets.pop(ticket)
+
+    def _abandon(self, ticket: int) -> None:
+        """Caller gave up on the ticket: drop all its state so the
+        eventual completion (if any) is discarded by _loop instead of
+        leaking for the life of the server. Must hold self._cv."""
+        self._tickets.pop(ticket, None)
+        self._progress.pop(ticket, None)
+        self._errors.pop(ticket, None)
 
     def wait_progress(self, ticket: int, n_seen: int,
                       timeout: float = 300.0
@@ -72,11 +84,15 @@ class ServingFrontend:
         this in a loop, advancing n_seen past what they have sent."""
         with self._cv:
             def ready():
-                if self._stop or self._tickets.get(ticket) is not None:
+                if self._stop or self._tickets.get(ticket) is not None \
+                        or ticket in self._errors:
                     return True
                 return len(self._progress.get(ticket, ())) > n_seen
             if not self._cv.wait_for(ready, timeout):
+                self._abandon(ticket)
                 raise TimeoutError(f'ticket {ticket} timed out')
+            if ticket in self._errors:
+                raise ValueError(self._errors.pop(ticket))
             done = self._tickets.get(ticket) is not None
             if done:
                 self._progress.pop(ticket, None)
@@ -119,7 +135,18 @@ class ServingFrontend:
                 if self._stop:
                     return
                 for ticket, toks, mx in self._pending:
-                    rid = eng.submit(toks, max_new_tokens=mx)
+                    if ticket not in self._tickets:
+                        continue        # abandoned (client timed out)
+                    try:
+                        rid = eng.submit(toks, max_new_tokens=mx)
+                    except ValueError as e:
+                        # oversized / unschedulable request: fail THIS
+                        # ticket (surfaced as HTTP 400) and keep the
+                        # engine thread alive for everyone else
+                        self._errors[ticket] = str(e)
+                        del self._tickets[ticket]
+                        self._cv.notify_all()
+                        continue
                     self._rid_to_ticket[rid] = ticket
                 self._pending.clear()
                 eng.step()
@@ -132,9 +159,12 @@ class ServingFrontend:
                         changed = True
                 if eng.completions:
                     for c in eng.completions:
-                        t = self._rid_to_ticket.pop(c.request_id)
-                        self._tickets[t] = c.tokens
-                        self.n_served += 1
+                        t = self._rid_to_ticket.pop(c.request_id, None)
+                        if t is not None and t in self._tickets:
+                            self._tickets[t] = c.tokens
+                            self.n_served += 1
+                        elif t is not None:
+                            self._progress.pop(t, None)   # abandoned
                     eng.completions = []
                     changed = True
                 if changed:
@@ -182,6 +212,9 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 raise ValueError('"prompt" must be a string or id list')
             mx = int(req.get('max_tokens', 32))
+            if len(ids) + mx > fe.engine.max_len:
+                raise ValueError('prompt + max_tokens exceeds engine '
+                                 f'max_len ({fe.engine.max_len})')
             timeout = float(req.get('timeout', 300))
             ticket = fe.submit(ids, mx)
             if req.get('stream'):
@@ -192,21 +225,35 @@ class _Handler(BaseHTTPRequestHandler):
                 self.send_header('Connection', 'close')
                 self.end_headers()
                 seen = 0
-                while True:
-                    toks, done = fe.wait_progress(ticket, seen, timeout)
-                    if len(toks) > seen:
-                        line = {'tokens': toks[seen:]}
-                        if fe.tokenizer is not None:
-                            line['text'] = fe.tokenizer.decode(toks[seen:])
-                        self.wfile.write(json.dumps(line).encode() + b'\n')
-                        self.wfile.flush()
-                        seen = len(toks)
-                    if done:
+                try:
+                    while True:
+                        toks, done = fe.wait_progress(ticket, seen, timeout)
+                        if len(toks) > seen:
+                            line = {'tokens': toks[seen:]}
+                            if fe.tokenizer is not None:
+                                line['text'] = \
+                                    fe.tokenizer.decode(toks[seen:])
+                            self.wfile.write(
+                                json.dumps(line).encode() + b'\n')
+                            self.wfile.flush()
+                            seen = len(toks)
+                        if done:
+                            self.wfile.write(json.dumps(
+                                {'done': True, 'id': ticket,
+                                 'n_tokens': seen}).encode() + b'\n')
+                            self.wfile.flush()
+                            return
+                except Exception as e:
+                    # headers already sent: a second status line would
+                    # corrupt the body — emit a terminal NDJSON error
+                    # record instead and close the stream
+                    try:
                         self.wfile.write(json.dumps(
-                            {'done': True, 'id': ticket,
-                             'n_tokens': seen}).encode() + b'\n')
+                            {'error': str(e)}).encode() + b'\n')
                         self.wfile.flush()
-                        return
+                    except OSError:
+                        pass
+                    return
             toks = fe.wait(ticket, timeout=timeout)
             out = {'id': ticket, 'tokens': toks, 'n_tokens': len(toks)}
             if fe.tokenizer is not None:

@@ -289,3 +289,29 @@ def test_speculative_batching_sparse_and_eos():
     completions = {c.request_id: c.tokens for c in eng.run_until_done()}
     assert completions[rids[0]][-1] == eos
     assert len(completions[rids[0]]) <= 5
+
+
+def test_stop_ids_terminate_generation(small_model):
+    """submit(stop_ids=...) ends the generation at the first stop token
+    (included in the completion, like eos_id), per request."""
+    cfg, iw = small_model
+    prompt = [3, 1, 4, 1, 5]
+    eng = ContinuousBatchingEngine(iw, n_slots=1, max_len=64,
+                                   prefill_bucket=16)
+    rid = eng.submit(prompt, max_new_tokens=8)
+    full = {c.request_id: c.tokens for c in eng.run_until_done()}[rid]
+    assert len(full) == 8
+    # greedy => deterministic; pick a token whose FIRST occurrence is
+    # past position 0 so the stop triggers mid-generation
+    idx, stop = next((i, t) for i, t in enumerate(full)
+                     if i > 0 and t not in full[:i])
+    eng2 = ContinuousBatchingEngine(iw, n_slots=1, max_len=64,
+                                    prefill_bucket=16)
+    rid2 = eng2.submit(prompt, max_new_tokens=8, stop_ids=[stop])
+    got = {c.request_id: c.tokens for c in eng2.run_until_done()}[rid2]
+    assert got == full[:idx + 1], (got, full)
+    assert eng2._stop_ids == {}   # cleaned up on completion
+    # a second request WITHOUT stop_ids is unaffected
+    rid3 = eng2.submit(prompt, max_new_tokens=8)
+    got3 = {c.request_id: c.tokens for c in eng2.run_until_done()}[rid3]
+    assert got3 == full

@@ -127,3 +127,63 @@ def test_live_progress_grows():
     done = eng.run_until_done()
     assert done[0].tokens[:3] == snap2[rid]
     assert eng.live_progress() == {}
+
+
+def test_oversized_request_400_and_server_survives(served):
+    """An unschedulable request gets 400 (not a hung server): both the
+    do_POST early check and the engine-thread submit guard keep the loop
+    alive for subsequent requests."""
+    cfg, iw, url = served
+    status, body = _post(url, {'prompt': [1, 2, 3], 'max_tokens': 1000})
+    assert status == 400 and 'max_len' in body['error']
+    # the server still serves normal requests afterwards
+    status, body = _post(url, {'prompt': [4, 5, 6], 'max_tokens': 3})
+    assert status == 200 and len(body['tokens']) == 3
+
+
+def test_frontend_engine_error_resolves_ticket():
+    """engine.submit raising inside _loop must fail only that ticket (as
+    ValueError from wait()), not kill the engine thread."""
+    from spt_proto_tpu.inference.server import ServingFrontend
+    cfg = tiny_config('opt').replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(3))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    eng = ContinuousBatchingEngine(iw, n_slots=1, max_len=32,
+                                   prefill_bucket=16)
+    fe = ServingFrontend(eng)
+    try:
+        bad = fe.submit([1] * 30, 30)      # passes no pre-check here
+        with pytest.raises(ValueError):
+            fe.wait(bad, timeout=60)
+        ok = fe.submit([1, 2, 3], 2)       # loop must still be alive
+        assert len(fe.wait(ok, timeout=120)) == 2
+        assert fe._errors == {} and fe._tickets == {}
+    finally:
+        fe.shutdown()
+
+
+def test_wait_timeout_cleans_up_ticket_state():
+    """A timed-out wait() abandons the ticket: its eventual completion is
+    dropped by the engine loop instead of leaking in _tickets/_progress."""
+    from spt_proto_tpu.inference.server import ServingFrontend
+    cfg = tiny_config('opt').replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(4))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    eng = ContinuousBatchingEngine(iw, n_slots=1, max_len=32,
+                                   prefill_bucket=16)
+    fe = ServingFrontend(eng)
+    try:
+        t0 = fe.submit([7, 8, 9], 4)
+        with pytest.raises(TimeoutError):
+            fe.wait(t0, timeout=0.0)
+        ok = fe.submit([1, 2, 3], 2)       # drives the loop to completion
+        assert len(fe.wait(ok, timeout=120)) == 2
+        import time
+        deadline = time.time() + 60
+        while fe._rid_to_ticket and time.time() < deadline:
+            time.sleep(0.05)
+        with fe._cv:
+            assert fe._tickets == {} and fe._progress == {}
+            assert fe._rid_to_ticket == {}
+    finally:
+        fe.shutdown()
