@@ -32,6 +32,11 @@ def main(argv=None):
     p.add_argument('--weight_decay', type=float, default=0.1)
     p.add_argument('--seq_length', type=int, default=513)
     p.add_argument('--batch_size', type=int, default=8)
+    p.add_argument('--accumulate', type=int, default=1,
+                   help='gradient-accumulation micro-batches per optimizer '
+                        'step (ref accumulate_grad_batches, '
+                        '4-sparse-tuning-0.py:186); --batch_size stays the '
+                        'micro-batch size')
     p.add_argument('--save_every', type=int, default=500)
     p.add_argument('--resume', action='store_true',
                    help='resume from --out/checkpoint train state')
@@ -112,6 +117,15 @@ def main(argv=None):
                 yield {'inputs': x[:, :-1], 'targets': x[:, 1:]}
         batches = synthetic()
 
+    if args.accumulate > 1:
+        def accumulated(src, a):
+            it = iter(src)
+            while True:
+                group = [next(it) for _ in range(a)]
+                yield {k: np.concatenate([g[k] for g in group])
+                       for k in group[0]}
+        batches = accumulated(batches, args.accumulate)
+
     def log(i, m):
         print(json.dumps({'step': i, **{k: round(v, 5)
                                         for k, v in m.items()}}))
@@ -121,6 +135,7 @@ def main(argv=None):
         max_steps=args.steps, log_every=10, log_fn=log, mesh=mesh,
         fsdp=args.fsdp,
         pp_micro=args.pp_micro if args.mesh_pipe > 1 else None,
+        accumulate=args.accumulate,
         checkpoint_dir=args.out + '-trainstate',
         checkpoint_every=args.save_every, resume=args.resume)
 

@@ -111,7 +111,8 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
                     *, train_quantizer: bool = True,
                     aux_coeff: float = AUX_LOSS_COEFF,
                     dropout_rng: Optional[jax.Array] = None,
-                    trainable: Optional[Any] = None):
+                    trainable: Optional[Any] = None,
+                    accumulate: int = 1):
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch = {'inputs' [B,S] int32, 'targets' [B,S] int32,
@@ -124,6 +125,15 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
     pass, which is the actual compute saving LoRA promises (~1/3 of
     backward flops plus the embedding scatter). Frozen grads are filled
     with zeros for the (masked) optimizer.
+
+    `accumulate=A`: gradient accumulation (the reference trains with
+    Lightning accumulate_grad_batches, script/4-sparse-tuning-0.py:186).
+    The batch's leading dim must be A*B; the step lax.scans A micro-
+    batches of B rows, averages their grads, and applies ONE optimizer
+    update — update-equivalent to a single A*B batch at 1/A the peak
+    activation memory (equal-sized unmasked micro-batches make mean-of-
+    means exact; with per-row masks it matches Lightning's loss-average
+    semantics).
     """
     use_dropout = cfg.p_dropout > 0.0
     model = DecoderLM(cfg=cfg, deterministic=not use_dropout,
@@ -156,17 +166,47 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
         loss = ce + aux_coeff * out['pq_loss']
         return loss, {'ce': ce, 'pq_loss': out['pq_loss']}
 
-    def train_step(state: TrainState, batch):
+    def grad_fn(params, batch, step):
         if flat_mask is None:
             (loss, metrics), grads = jax.value_and_grad(
-                _forward, has_aux=True)(state.params, batch, state.step)
+                _forward, has_aux=True)(params, batch, step)
         else:
-            train_flat, frozen_flat = _split(state.params)
+            train_flat, frozen_flat = _split(params)
             (loss, metrics), g_train = jax.value_and_grad(
                 lambda t: _forward(_merge(t, frozen_flat), batch,
-                                   state.step), has_aux=True)(train_flat)
+                                   step), has_aux=True)(train_flat)
             zeros = {k: jnp.zeros_like(v) for k, v in frozen_flat.items()}
             grads = _merge(g_train, zeros)
+        return loss, metrics, grads
+
+    def train_step(state: TrainState, batch):
+        if accumulate > 1:
+            # batch arrives flat [A*B, ...] (single device) or already
+            # micro-shaped [A, B, ...] (mesh path: train_loop reshapes
+            # host-side so the 'data' sharding rides dim 1 and every
+            # micro-batch stays data-parallel)
+            micro = batch if batch['inputs'].ndim == 3 else jax.tree.map(
+                lambda x: x.reshape(
+                    (accumulate, x.shape[0] // accumulate) + x.shape[1:]),
+                batch)
+
+            def body(acc, mb):
+                out = grad_fn(state.params, mb, state.step)
+                return jax.tree.map(jnp.add, acc, out), None
+
+            init = (jnp.zeros((), jnp.float32),
+                    {'ce': jnp.zeros((), jnp.float32),
+                     'pq_loss': jnp.zeros((), jnp.float32)},
+                    jax.tree.map(
+                        lambda p: jnp.zeros(p.shape, jnp.float32),
+                        state.params))
+            acc, _ = jax.lax.scan(body, init, micro)
+            loss, metrics, grads = jax.tree.map(
+                lambda x: x / accumulate, acc)
+            grads = jax.tree.map(lambda g, p: g.astype(p.dtype),
+                                 grads, state.params)
+        else:
+            loss, metrics, grads = grad_fn(state.params, batch, state.step)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics, loss=loss,
@@ -357,7 +397,8 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
                checkpoint_every: int = 500,
                resume: bool = False,
                mesh=None, fsdp: bool = False,
-               pp_micro: Optional[int] = None) -> tuple[Any, list]:
+               pp_micro: Optional[int] = None,
+               accumulate: int = 1) -> tuple[Any, list]:
     """Training loop. With `mesh`, params/batches are placed with the
     canonical shardings and the step is jitted over the mesh.
     freeze_base=False enables full fine-tuning (no trainable masking).
@@ -380,6 +421,11 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
     and checkpoint writes are process-0-gated, and the checkpoint save
     gathers cross-host shards collectively. See tests/test_multihost.py
     for the simulated 2-process recipe.
+
+    accumulate=A: gradient accumulation (ref accumulate_grad_batches,
+    script/4-sparse-tuning-0.py:186) — each incoming batch of A*B rows is
+    processed as A micro-batches of B with one optimizer update (plain and
+    FSDP steps only; the PP step already has microbatching via pp_micro).
 
     pq_train_every: arm the PQ codebook aux loss every K steps (the
     reference's `trigger` buffer mechanism, sparse/attention.py:98-104 —
@@ -417,6 +463,9 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
         assert mesh is not None, "cfg.ffn_impl='ep' requires a mesh"
         from spt_proto_tpu.ops.routed_ffn_ep import ep_mesh
         trace_ctx.enter_context(ep_mesh(mesh, axis='data'))
+    if accumulate > 1:
+        assert not use_cp and not use_pp, \
+            'accumulate composes with the plain/FSDP step only'
     if use_cp:
         assert not use_pp and not fsdp, \
             'context parallelism composes with DP only (params replicated)'
@@ -428,7 +477,8 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
             train_quantizer=tq)
     else:
         mk = lambda tq: make_train_step(cfg, tx, trainable=trainable,
-                                        train_quantizer=tq)
+                                        train_quantizer=tq,
+                                        accumulate=accumulate)
     step_pq = jax.jit(mk(True), donate_argnums=(0,))
     step_fast = step_pq if pq_train_every == 1 else jax.jit(
         mk(False), donate_argnums=(0,))
@@ -445,9 +495,20 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
                     batch = put_global_batch(
                         batch, step_pq.batch_shardings())
                 else:
+                    import numpy as np
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
                     from spt_proto_tpu.parallel.sharding import \
                         batch_sharding
-                    batch = put_global_batch(batch, batch_sharding(mesh))
+                    sh = batch_sharding(mesh)
+                    if accumulate > 1:
+                        # micro-shape host-side so 'data' shards dim 1:
+                        # every micro-batch of the scan stays DP-sharded
+                        batch = jax.tree.map(
+                            lambda x: np.asarray(x).reshape(
+                                (accumulate, -1) + np.shape(x)[1:]), batch)
+                        sh = NamedSharding(mesh, P(None, 'data'))
+                    batch = put_global_batch(batch, sh)
             fn = step_pq if i % pq_train_every == 0 else step_fast
             state, metrics = fn(state, batch)
             if i % log_every == 0:

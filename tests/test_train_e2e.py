@@ -104,3 +104,65 @@ def test_sharded_training_matches_single_device():
     b = flatten(jax.device_get(state2.params))
     for k in a:
         np.testing.assert_allclose(a[k], b[k], atol=2e-5, err_msg=k)
+
+
+def test_grad_accumulation_matches_large_batch():
+    """accumulate=A on an A*B batch produces the SAME parameter update as
+    a single A*B-batch step (equal unmasked micro-batches => mean-of-means
+    is exact), at 1/A the activation memory. Ref: Lightning
+    accumulate_grad_batches (4-sparse-tuning-0.py:186)."""
+    cfg = tiny_config('opt', vocab_size=64)
+    params0 = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    cfg, params = surgery.full_upgrade(cfg, params0, jax.random.PRNGKey(1),
+                                       d_lora=4, ffn_block_size=32)
+    batch = next(make_batches(cfg, 1, batch=8, seq=24))
+    # SGD: the update is LINEAR in the grads, so update-equivalence tests
+    # grad-equivalence directly (Adam's first step is ±lr·sign(grad) and
+    # amplifies fp summation-order noise on near-zero grads)
+    import optax
+    tx = optax.sgd(1e-2)
+    mask = trainable_mask(params)
+    f0 = flatten(jax.device_get(params))
+
+    def run(accumulate):
+        p = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        step = jax.jit(make_train_step(cfg, tx, trainable=mask,
+                                       accumulate=accumulate))
+        st = TrainState(p, tx.init(p), jnp.zeros((), jnp.int32))
+        st, metrics = step(st, batch)
+        return flatten(jax.device_get(st.params)), \
+            {k: float(v) for k, v in metrics.items()}
+
+    f1, m1 = run(1)
+    f4, m4 = run(4)
+    assert np.isclose(m1['ce'], m4['ce'], rtol=1e-5), (m1, m4)
+    for k in f1:
+        d1 = np.asarray(f1[k], np.float64) - np.asarray(f0[k], np.float64)
+        d4 = np.asarray(f4[k], np.float64) - np.asarray(f0[k], np.float64)
+        scale = max(np.abs(d1).max(), 1e-12)
+        np.testing.assert_allclose(d1 / scale, d4 / scale, atol=1e-4,
+                                   err_msg=k)
+
+
+def test_grad_accumulation_train_loop_mesh():
+    """train_loop(accumulate=A) under a DP mesh: runs, loss finite, and
+    matches the unaccumulated loop's first-step CE (same effective
+    batch)."""
+    if len(jax.devices()) < 2:
+        pytest.skip('needs multi-device CPU mesh')
+    from spt_proto_tpu.parallel.mesh import make_mesh
+    cfg = tiny_config('opt', vocab_size=64)
+    params0 = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    cfg, params = surgery.full_upgrade(cfg, params0, jax.random.PRNGKey(1),
+                                       d_lora=4, ffn_block_size=32)
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    _, hist_acc = train_loop(cfg, params,
+                             make_batches(cfg, 4, batch=8, seq=24),
+                             lr=1e-3, max_steps=4, log_every=1,
+                             mesh=mesh, accumulate=2)
+    _, hist_ref = train_loop(cfg, params,
+                             make_batches(cfg, 4, batch=8, seq=24),
+                             lr=1e-3, max_steps=4, log_every=1, mesh=mesh)
+    assert np.isclose(hist_acc[0][1]['ce'], hist_ref[0][1]['ce'],
+                      rtol=1e-5)
+    assert all(np.isfinite(m['ce']) for _, m in hist_acc)
