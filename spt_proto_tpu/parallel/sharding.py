@@ -114,10 +114,12 @@ def param_specs(params: Any, fsdp: bool = False, pp: bool = False) -> Any:
     return unflatten(specs)
 
 
-def _fit_spec(mesh: Mesh, spec: P, shape) -> P:
+def _fit_spec(mesh: Mesh, spec: P, shape):
     """Strip mesh axes from dims they do not divide evenly (device_put
-    rejects uneven shardings; e.g. n_layers=2 over data=4)."""
+    rejects uneven shardings; e.g. n_layers=2 over data=4). Returns
+    (fitted spec, list of stripped axis names)."""
     out = []
+    stripped = []
     for dim, entry in enumerate(spec):
         if entry is None:
             out.append(None)
@@ -128,19 +130,61 @@ def _fit_spec(mesh: Mesh, spec: P, shape) -> P:
             size = mesh.shape[ax]
             prod = int(np.prod([mesh.shape[a] for a in kept] or [1]))
             if size > 1 and shape[dim] % (prod * size) != 0:
+                stripped.append(ax)
                 continue
             kept.append(ax)
         out.append(tuple(kept) if len(kept) > 1 else
                    (kept[0] if kept else None))
-    return P(*out)
+    return P(*out), stripped
+
+
+def _reassign_axis(mesh: Mesh, spec: P, shape, ax: str):
+    """Move a stripped mesh axis onto the first free dim it divides
+    (sharding placement is a performance choice, never a correctness
+    one — pjit inserts whatever collectives the placement implies).
+    Returns the new spec, or None if no dim fits."""
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    for dim in range(len(shape)):
+        if entries[dim] is None and shape[dim] % mesh.shape[ax] == 0 \
+                and mesh.shape[ax] > 1:
+            entries[dim] = ax
+            return P(*entries)
+    return None
 
 
 def param_shardings(mesh: Mesh, params: Any, fsdp: bool = False,
                     pp: bool = False) -> Any:
-    specs = param_specs(params, fsdp=fsdp, pp=pp)
-    return jax.tree.map(
-        lambda s, leaf: NamedSharding(mesh, _fit_spec(mesh, s, leaf.shape)),
-        specs, params, is_leaf=lambda x: isinstance(x, P))
+    """NamedSharding pytree. With fsdp=True the ZeRO shard axis ('data')
+    falls back to another dividing dim when the stacked-layer axis is not
+    divisible (e.g. 12 layers over 8-way DP: the layer axis can't shard,
+    so the parameter's feature dim takes the 'data' shard instead — the
+    memory still shrinks). A loud warning names every leaf that ends up
+    fully replicated against a requested shard axis."""
+    import warnings
+    flat_specs = flatten(param_specs(params, fsdp=fsdp, pp=pp))
+    flat_params = flatten(params)
+    out = {}
+    lost = []
+    for path, spec in flat_specs.items():
+        shape = flat_params[path].shape
+        fitted, stripped = _fit_spec(mesh, spec, shape)
+        for ax in stripped:
+            if fsdp and ax == 'data':
+                alt = _reassign_axis(mesh, fitted, shape, ax)
+                if alt is not None:
+                    fitted = alt
+                    continue
+            lost.append((path, ax, shape))
+        out[path] = NamedSharding(mesh, fitted)
+    if lost:
+        ex = ', '.join(f'{p} (axis {a!r}, shape {s})'
+                       for p, a, s in lost[:3])
+        warnings.warn(
+            f'{len(lost)} parameter(s) could not be sharded on a requested '
+            f'mesh axis and are replicated there instead — e.g. {ex}. '
+            f'With fsdp=True this means less ZeRO memory saving than the '
+            f'DP width implies.', RuntimeWarning, stacklevel=2)
+    return unflatten(out)
 
 
 def shard_params(mesh: Mesh, params: Any, fsdp: bool = False,

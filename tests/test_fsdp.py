@@ -101,3 +101,47 @@ def test_fsdp_training_matches_single_device():
     b = flatten(jax.device_get(state2.params))
     for k in a:
         np.testing.assert_allclose(a[k], b[k], atol=2e-5, err_msg=k)
+
+
+def test_fsdp_non_divisible_layers_still_shards():
+    """12 layers over 8-way DP (the flagship OPT-125M shape): the layer
+    axis can't shard, so 'data' must fall back to a dividing feature dim
+    — per-device memory still shrinks instead of silently replicating."""
+    cfg = tiny_config('opt', n_layers=3, vocab_size=64)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(2, 4)          # data=2 does not divide n_layers=3
+    with mesh:
+        sp = shard_params(mesh, params, fsdp=True)
+    leaf = sp['blocks']['mha']['q']['kernel']      # [3, D, D]
+    spec = leaf.sharding.spec
+    assert 'data' in jax.tree.leaves(tuple(spec)), spec
+    assert leaf.sharding.shard_shape(leaf.shape) != leaf.shape
+    # parity: the fallback sharding is still numerically a no-op
+    tx = make_optimizer(params, freeze_base=False)
+    batch = next(make_batches(cfg, 1))
+    step = make_train_step(cfg, tx)
+    s1 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    s1, m1 = jax.jit(step)(s1, batch)
+    with mesh:
+        s2 = TrainState(sp, tx.init(sp), jnp.zeros((), jnp.int32))
+        sb = jax.device_put(batch, batch_sharding(mesh))
+        s2, m2 = jax.jit(step)(s2, sb)
+    np.testing.assert_allclose(float(m1['loss']), float(m2['loss']),
+                               rtol=2e-5)
+
+
+def test_fsdp_warns_when_nothing_shards():
+    """If a requested shard axis can't land anywhere, the user hears
+    about it instead of silently training replicated."""
+    import warnings
+    cfg = tiny_config('opt', n_layers=3, vocab_size=63)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    # prime-ish dims: 'data'=5 divides nothing in the tiny tree
+    mesh = make_mesh(5, 1, devices=np.asarray(jax.devices()[:5]))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        with mesh:
+            shard_params(mesh, params, fsdp=True)
+    msgs = [str(x.message) for x in w
+            if issubclass(x.category, RuntimeWarning)]
+    assert any('could not be sharded' in m for m in msgs), msgs
