@@ -29,7 +29,9 @@ import numpy as np
 from spt_proto_tpu.inference.engine import (DECODE_BUCKET, TILE, KVCache,
                                             decode_step, grow_cache, prefill,
                                             round_up, sample, verify_step)
-from spt_proto_tpu.inference.engine import prefill_chunk as _chunk_prefill
+from spt_proto_tpu.inference.engine import (
+    prefill_chunk_compute as _chunk_compute)
+from spt_proto_tpu.inference.engine import prefill_chunk_past as _chunk_past
 from spt_proto_tpu.inference.weights import InferenceWeights
 
 _RUNTIME_DIR = os.path.join(os.path.dirname(os.path.dirname(
@@ -307,7 +309,11 @@ class ContinuousBatchingEngine:
                                         dtype=iw.cfg.dtype,
                                         quantized=quantized_kv)
             self._prefill_fn = jax.jit(prefill, donate_argnums=(2,))
-            self._chunk_fn = jax.jit(_chunk_prefill, static_argnums=(4,),
+            # two dispatches per chunk: the past-read never donates, the
+            # compute/write half never READS the cache => its donation
+            # aliases in place (no cache-sized copy per chunk)
+            self._past_fn = jax.jit(_chunk_past, static_argnums=(3,))
+            self._chunk_fn = jax.jit(_chunk_compute, static_argnums=(5,),
                                      donate_argnums=(2,))
             self._decode_fn = functools.partial(
                 _decode_and_sample, temperature=temperature)
@@ -552,8 +558,9 @@ class ContinuousBatchingEngine:
         # the whole tail is processed as one chunk
         c = min(self.chunk or (total - offset), total - offset)
         chunk = jnp.asarray(st['tokens'][:, offset:offset + c])
+        past = self._past_fn(self.iw, self.cache, jnp.int32(slot), offset)
         logits, self.cache = self._chunk_fn(
-            self.iw, chunk, self.cache, jnp.int32(slot), offset)
+            self.iw, chunk, self.cache, past, jnp.int32(slot), offset)
         st['done'] = offset + c
         self.last_step_prefill_tokens += c
         if st['done'] < total:

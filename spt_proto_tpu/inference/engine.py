@@ -372,6 +372,57 @@ def prefill(iw: InferenceWeights, tokens: jax.Array,
     return logits, cache
 
 
+def prefill_chunk_past(iw: InferenceWeights, cache: KVCache,
+                       slot: jax.Array, offset: int):
+    """Read (and dequantize) a slot's cached context [0, offset) for
+    chunked prefill: token-major [L, 1, KV, offset, D] K/V plus codes.
+
+    Split out of prefill_chunk so the engine can run it as its OWN jit
+    dispatch: the compute/write half then never READS the cache, which
+    lets XLA actually alias the donated cache buffers in place (reading
+    and writing the same donated input in one program made the donation
+    unusable — a cache-sized defensive copy per chunk)."""
+    cfg = iw.cfg
+    l = cfg.n_layers
+    kv = cfg.kv_heads
+    nt = cache.tiles_per_layer(l)
+    t0 = offset // TILE
+    t0s = max(t0, 1)
+
+    def slot_past(big):
+        row = jax.lax.dynamic_slice(
+            big, (slot, 0, 0, 0, 0), (1, kv, l * nt, big.shape[3], TILE))
+        per_layer = row.reshape(1, kv, l, nt, big.shape[3], TILE
+                                )[:, :, :, :t0s]
+        # token-major [L, 1, KV, t0s*T, w] -> clipped to the true offset
+        tok = per_layer.transpose(2, 0, 1, 3, 5, 4).reshape(
+            l, 1, kv, t0s * TILE, big.shape[3])
+        return tok[:, :, :, :offset]
+
+    if cache.quantized:
+        # dequantize the past ONCE here; attention over
+        # [dequantized past + exact chunk] mirrors decode
+        hp = cache.k_scale.shape[2]
+
+        def slot_past_sc(big):             # [B, L*NT, hp, T]
+            row = jax.lax.dynamic_slice(
+                big, (slot, 0, 0, 0), (1, l * nt, hp, TILE))
+            per_layer = row.reshape(1, l, nt, hp, TILE)[:, :, :t0s]
+            tok = per_layer.transpose(1, 0, 3, 2, 4).reshape(
+                l, 1, hp, t0s * TILE)
+            return tok[:, :, :kv, :offset]               # [L,1,KV,off]
+
+        ksc_past = slot_past_sc(cache.k_scale)
+        vsc_past = slot_past_sc(cache.v_scale)
+        past_k = (slot_past(cache.k).astype(jnp.float32)
+                  * ksc_past[..., None]).astype(cfg.dtype)
+        past_v = (slot_past(cache.v).astype(jnp.float32)
+                  * vsc_past[..., None]).astype(cfg.dtype)
+    else:
+        past_k, past_v = slot_past(cache.k), slot_past(cache.v)
+    return past_k, past_v, slot_past(cache.codes)
+
+
 def prefill_chunk(iw: InferenceWeights, tokens: jax.Array, cache: KVCache,
                   slot: jax.Array, offset: int
                   ) -> Tuple[jax.Array, KVCache]:
@@ -388,12 +439,27 @@ def prefill_chunk(iw: InferenceWeights, tokens: jax.Array, cache: KVCache,
     chunk lands on whole cache tiles; `offset` is static (one jit
     specialization per chunk boundary — bounded by max_len / chunk).
 
+    The engine runs the two halves (prefill_chunk_past above, then this
+    compute/write half with `past` supplied) as separate jit dispatches so
+    the cache donation aliases cleanly; this composite exists for one-shot
+    callers and tests.
+
     Dense configs are bit-equivalent to one-shot prefill() up to bf16
     accumulation order. Sparse configs run the per-row PQ top-k oracle over
     [past + chunk] with top_k = (offset + C) // sparse_coeff — the same
     selection contract as the non-tile-aligned prefill path; the tile
     pattern may differ from the one-shot block-sparse kernel's.
     """
+    past = prefill_chunk_past(iw, cache, slot, offset)
+    return prefill_chunk_compute(iw, tokens, cache, past, slot, offset)
+
+
+def prefill_chunk_compute(iw: InferenceWeights, tokens: jax.Array,
+                          cache: KVCache, past, slot: jax.Array,
+                          offset: int) -> Tuple[jax.Array, KVCache]:
+    """Compute/write half of chunked prefill (see prefill_chunk). Never
+    reads `cache` — only scatters the chunk's tiles into it — so a jit
+    with donate on `cache` updates it truly in place."""
     cfg = iw.cfg
     p = iw.params
     b, c = tokens.shape
@@ -415,44 +481,7 @@ def prefill_chunk(iw: InferenceWeights, tokens: jax.Array, cache: KVCache,
     kv, g = cfg.kv_heads, cfg.kv_groups
     s_tot = offset + c
     k_sel = max(1, s_tot // cfg.sparse_coeff) if sparse else 0
-
-    # pre-read the slot's past tiles for every layer OUTSIDE the scan: the
-    # body then only WRITES to the cache carry, so XLA can alias the donated
-    # cache in place (an in-body read would force a defensive full copy)
-    t0s = max(t0, 1)
-
-    def slot_past(big):
-        row = jax.lax.dynamic_slice(
-            big, (slot, 0, 0, 0, 0), (1, kv, l * nt, big.shape[3], TILE))
-        per_layer = row.reshape(1, kv, l, nt, big.shape[3], TILE
-                                )[:, :, :, :t0s]
-        # token-major [L, 1, KV, t0s*T, w] -> clipped to the true offset
-        tok = per_layer.transpose(2, 0, 1, 3, 5, 4).reshape(
-            l, 1, kv, t0s * TILE, big.shape[3])
-        return tok[:, :, :, :offset]
-
-    if cache.quantized:
-        # dequantize the past ONCE outside the scan (same aliasing rule);
-        # attention over [dequantized past + exact chunk] mirrors decode
-        hp = cache.k_scale.shape[2]
-
-        def slot_past_sc(big):             # [B, L*NT, hp, T]
-            row = jax.lax.dynamic_slice(
-                big, (slot, 0, 0, 0), (1, l * nt, hp, TILE))
-            per_layer = row.reshape(1, l, nt, hp, TILE)[:, :, :t0s]
-            tok = per_layer.transpose(1, 0, 3, 2, 4).reshape(
-                l, 1, hp, t0s * TILE)
-            return tok[:, :, :kv, :offset]               # [L,1,KV,off]
-
-        ksc_past = slot_past_sc(cache.k_scale)
-        vsc_past = slot_past_sc(cache.v_scale)
-        past_k = (slot_past(cache.k).astype(jnp.float32)
-                  * ksc_past[..., None]).astype(cfg.dtype)
-        past_v = (slot_past(cache.v).astype(jnp.float32)
-                  * vsc_past[..., None]).astype(cfg.dtype)
-    else:
-        past_k, past_v = slot_past(cache.k), slot_past(cache.v)
-    past_c = slot_past(cache.codes)
+    past_k, past_v, past_c = past
 
     def layer(carry, inp):
         x, kc, vc, cc, ksc, vsc = carry
@@ -1000,11 +1029,14 @@ def round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(1, 2))
 def grow_cache(cache: KVCache, new_len: int, n_layers: int) -> KVCache:
-    """Extend smax by zero-padding tiles per layer block (donated: the old
-    buffers free early). Decode cost tracks the current bucket instead of
-    the final max_len."""
+    """Extend smax by zero-padding tiles per layer block. Decode cost
+    tracks the current bucket instead of the final max_len. NOT donated:
+    the output is strictly larger than the input, so aliasing is
+    impossible (a donate here only produced 'donated buffers were not
+    usable' warnings); the old buffers free when the caller drops its
+    reference, and old+new peak coexistence is inherent to the copy."""
     nt_old = cache.tiles_per_layer(n_layers)
     nt_new = -(-new_len // TILE)
     pad = nt_new - nt_old
