@@ -26,6 +26,8 @@ def main(argv=None):
     p.add_argument('--mode', nargs='+',
                    default=['dense', 'sparse'],
                    choices=['dense', 'sparse', 'int8', 'paged'])
+    from spt_proto_tpu.cli.common import add_mesh_args, mesh_from_args
+    add_mesh_args(p)
     args = p.parse_args(argv)
 
     import jax
@@ -65,6 +67,12 @@ def main(argv=None):
                 cfg.replace(attention='sparse_v1'), mparams, 'mha_v2',
                 jax.random.PRNGKey(1))
         iw = InferenceWeights.from_params(cfg, mparams, quant=quant)
+        mesh = mesh_from_args(args)
+        if mesh is not None:
+            assert mode != 'paged', '--mesh_model needs contiguous cache'
+            from spt_proto_tpu.parallel.infer_sharding import \
+                shard_inference_weights
+            iw = shard_inference_weights(mesh, iw)
 
         if mode == 'paged':
             from spt_proto_tpu.inference.paged import (PageAllocator,
@@ -88,6 +96,10 @@ def main(argv=None):
         else:
             cache = KVCache.create(cfg, args.batch, args.max_len,
                                    dtype=cfg.dtype)
+            if mesh is not None:
+                from spt_proto_tpu.parallel.infer_sharding import \
+                    shard_cache
+                cache = shard_cache(mesh, cache)
             logits, cache = jax.jit(prefill)(iw, prompts, cache)
             step = decode_step
 

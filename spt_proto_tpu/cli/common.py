@@ -36,3 +36,24 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
 
 def apply_dtype(cfg: ModelConfig, args) -> ModelConfig:
     return cfg.replace(dtype=jnp.dtype(args.dtype))
+
+
+def add_mesh_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument('--mesh_model', type=int, default=None,
+                   help='tensor-parallel width for serving: weights '
+                        'sharded on the model axis, KV cache heads '
+                        'sharded (parallel/infer_sharding.py)')
+    p.add_argument('--mesh_data', type=int, default=1,
+                   help='data axis width for serving (cache slots '
+                        'sharded across it)')
+
+
+def mesh_from_args(args):
+    """None when no --mesh_model: single-device serving."""
+    if getattr(args, 'mesh_model', None) is None:
+        return None
+    from spt_proto_tpu.parallel.mesh import make_mesh
+    import jax
+    n = args.mesh_data * args.mesh_model
+    return make_mesh(args.mesh_data, args.mesh_model,
+                     devices=jax.devices()[:n])

@@ -46,6 +46,8 @@ def main(argv=None):
                         '(n-gram) proposals')
     p.add_argument('--draft_ckpt', type=str, default=None,
                    help='draft model checkpoint dir for --speculative')
+    from spt_proto_tpu.cli.common import add_mesh_args, mesh_from_args
+    add_mesh_args(p)
     p.add_argument('--spec_k', type=int, default=4,
                    help='draft depth (proposed tokens per verify block)')
     args = p.parse_args(argv)
@@ -78,7 +80,8 @@ def main(argv=None):
             prefill_chunk=args.prefill_chunk,
             quantized_kv=args.quantized_kv,
             speculative=args.spec_k if args.speculative else None,
-            prefix_cache=args.prefix_cache)
+            prefix_cache=args.prefix_cache,
+            mesh=mesh_from_args(args))
         rids = [eng.submit(e, args.max_new_tokens) for e in enc]
         by_id = {c.request_id: c.tokens for c in eng.run_until_done()}
         outs = [by_id[r] for r in rids]
@@ -121,6 +124,7 @@ def main(argv=None):
                        top_k=args.top_k, top_p=args.top_p,
                        rng=jax.random.PRNGKey(args.seed),
                        eos_id=tok.eos_token_id,
+                       mesh=mesh_from_args(args),
                        lengths=jnp.asarray(lengths),
                        quantized_kv=args.quantized_kv)
         for i, text in enumerate(prompts):

@@ -32,6 +32,8 @@ def main(argv=None):
     p.add_argument('--prefill_chunk', type=int, default=None)
     p.add_argument('--speculative', type=int, default=None,
                    help='k: n-gram speculative decoding per engine step')
+    from spt_proto_tpu.cli.common import add_mesh_args, mesh_from_args
+    add_mesh_args(p)
     args = p.parse_args(argv)
 
     import jax
@@ -58,7 +60,8 @@ def main(argv=None):
         iw, n_slots=args.n_slots, max_len=args.max_len,
         temperature=args.temperature, eos_id=eos_id,
         prefill_chunk=args.prefill_chunk, quantized_kv=args.quantized_kv,
-        speculative=args.speculative, prefix_cache=args.prefix_cache)
+        speculative=args.speculative, prefix_cache=args.prefix_cache,
+        mesh=mesh_from_args(args))
     server, frontend = make_server(eng, args.host, args.port, tokenizer=tok)
     print(f'serving on http://{server.server_address[0]}:'
           f'{server.server_address[1]} (POST /v1/completions)')

@@ -233,7 +233,21 @@ class ContinuousBatchingEngine:
                  quantized_kv: bool = False,
                  speculative: Optional[int] = None,
                  prefix_cache: bool = False,
-                 prefix_cache_entries: int = 8):
+                 prefix_cache_entries: int = 8,
+                 mesh=None):
+        # mesh: tensor-parallel serving — weights TP-sharded on 'model'
+        # (heads / FFN / vocab), KV cache sharded (slots on 'data', heads
+        # on 'model'); every jitted engine step then runs as one pjit
+        # program over the mesh, with XLA inserting the o-projection
+        # psum and lm_head gather (parallel/infer_sharding.py). The
+        # scheduler and slot logic are unchanged — sharding is carried
+        # by the arrays. Contiguous cache only.
+        if mesh is not None:
+            assert not paged, 'mesh serving supports the contiguous cache'
+            from spt_proto_tpu.parallel.infer_sharding import \
+                shard_inference_weights
+            iw = shard_inference_weights(mesh, iw)
+        self.mesh = mesh
         self.iw = iw
         self.n_slots = n_slots
         self.max_len = max_len
@@ -308,6 +322,10 @@ class ContinuousBatchingEngine:
             self.cache = KVCache.create(iw.cfg, n_slots, self.cap,
                                         dtype=iw.cfg.dtype,
                                         quantized=quantized_kv)
+            if mesh is not None:
+                from spt_proto_tpu.parallel.infer_sharding import \
+                    shard_cache
+                self.cache = shard_cache(mesh, self.cache)
             self._prefill_fn = jax.jit(prefill, donate_argnums=(2,))
             # two dispatches per chunk: the past-read never donates, the
             # compute/write half never READS the cache => its donation
@@ -603,6 +621,11 @@ class ContinuousBatchingEngine:
         self.cap = min(round_up(needed, DECODE_BUCKET), self.max_len)
         self.cache = grow_cache(self.cache, self.cap,
                                 self.iw.cfg.n_layers)
+        if self.mesh is not None:
+            # pin the canonical shardings after growth (a same-sharding
+            # device_put is a no-op)
+            from spt_proto_tpu.parallel.infer_sharding import shard_cache
+            self.cache = shard_cache(self.mesh, self.cache)
 
     def _cache_len(self, live: _Live) -> int:
         """Tokens currently in the slot's KV cache: the prefilled context

@@ -699,10 +699,12 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
                             * cfg.d_head
                             + kv_pad * nt * TILE * 2 * 4) / 2**20
             # unroll cap: the ms kernel unrolls b*kv*t_max DMA pairs —
-            # past ~768 the Mosaic compile time outgrows the win
+            # past ~768 the Mosaic compile time outgrows the win; at 768
+            # (e.g. 8 slots x 32 kv heads x 3 tiles) the unrolled scalar
+            # code also overflows the 1 MB SMEM - cap at 512
             unroll = b * kv * tables.shape[2]
             fn = decode_attention_rows_q_ms \
-                if cfg.decode_multislot and stage_mb < 11 and unroll <= 768 \
+                if cfg.decode_multislot and stage_mb < 11 and unroll <= 512 \
                 else decode_attention_rows_q
             o, kc, vc, cc, ksc, vsc = fn(
                 q4, kc, vc, cc, ksc, vsc, tables.astype(jnp.int32),
@@ -718,7 +720,7 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
             # unroll cap: see the quantized branch
             unroll = b * kv * tables.shape[2]
             fn = decode_attention_rows_ms \
-                if cfg.decode_multislot and stage_mb < 11 and unroll <= 768 \
+                if cfg.decode_multislot and stage_mb < 11 and unroll <= 512 \
                 else decode_attention_rows
             o, kc, vc, cc = fn(
                 q4, kc, vc, cc, tables.astype(jnp.int32), n_tiles, pos,
@@ -1104,12 +1106,17 @@ def generate(iw: InferenceWeights, prompts: jax.Array, max_new_tokens: int,
              rng: Optional[jax.Array] = None,
              eos_id: Optional[int] = None,
              lengths: Optional[jax.Array] = None,
-             quantized_kv: bool = False) -> jax.Array:
+             quantized_kv: bool = False,
+             mesh=None) -> jax.Array:
     """Batch generate. prompts [B, S_prompt] -> [B, S_prompt + max_new].
 
     quantized_kv=True keeps the KV cache in int8 with per-token scales
     (half the decode HBM traffic; ~1% logit error — see
     tests/test_quantized_kv.py).
+
+    mesh: tensor-parallel serving — weights sharded on 'model', cache
+    slots on 'data' / heads on 'model' (parallel/infer_sharding.py);
+    prefill and every decode step run as pjit programs over the mesh.
 
     Ragged batches: right-pad the prompts and pass the true per-row
     `lengths [B]`. The cache length is then set per row (so decode positions
@@ -1125,6 +1132,11 @@ def generate(iw: InferenceWeights, prompts: jax.Array, max_new_tokens: int,
     cap = min(max(s0, round_up(s0 + 1, DECODE_BUCKET)), max(limit, s0))
     cache = KVCache.create(iw.cfg, b, cap, dtype=iw.cfg.dtype,
                            quantized=quantized_kv)
+    if mesh is not None:
+        from spt_proto_tpu.parallel.infer_sharding import (
+            shard_cache, shard_inference_weights)
+        iw = shard_inference_weights(mesh, iw)
+        cache = shard_cache(mesh, cache)
     prefill_fn = jax.jit(prefill, donate_argnums=(2,))
     step_fn = jax.jit(decode_step, donate_argnums=(2,))
     logits, cache = prefill_fn(iw, prompts, cache)
@@ -1155,6 +1167,10 @@ def generate(iw: InferenceWeights, prompts: jax.Array, max_new_tokens: int,
         if max_pos + 1 > cap and cap < limit:
             cap = min(round_up(max_pos + 1, DECODE_BUCKET), limit)
             cache = grow_cache(cache, cap, iw.cfg.n_layers)
+            if mesh is not None:
+                from spt_proto_tpu.parallel.infer_sharding import \
+                    shard_cache
+                cache = shard_cache(mesh, cache)
         rng, sub = jax.random.split(rng)
         logits, cache = step_fn(iw, tok, cache)
         max_pos += 1

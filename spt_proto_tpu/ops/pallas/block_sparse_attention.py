@@ -300,12 +300,16 @@ def _use_resident(s: int, d: int, dtype) -> bool:
 def _fwd_kernel_v3(pack_ref, q_ref, k_ref, v_ref, o_ref, *rest,
                    block_q: int, block_k: int, n_sel: int,
                    scale: float, clamp: Optional[float], with_lse: bool):
-    # pack_ref[b, qt] = [n_strict, n_valid, sel...] — ONE scalar-prefetch
-    # operand: Mosaic reserves a fixed 512K SMEM bank per prefetch operand,
-    # so two operands hit the 1M SMEM cap
+    # pack_ref = FLAT [b * n_qt * (2 + n_sel)] of per-(b, qt) rows
+    # [n_strict, n_valid, sel...] — ONE scalar-prefetch operand (Mosaic
+    # reserves a fixed 512K SMEM bank per prefetch operand, so two
+    # operands hit the 1M SMEM cap), and 1-D (an [N, n_qt, 2+n_sel]
+    # operand is lane-padded 2+n_sel -> 128 in SMEM: at flagship
+    # B*H=256 that alone is 1 MB — the whole SMEM budget)
     lse_ref = rest[0] if with_lse else None
     b = pl.program_id(0)
     qt = pl.program_id(1)
+    row = (b * pl.num_programs(1) + qt) * (2 + n_sel)
     q = q_ref[0]                                   # [block_q, d]
 
     def body(masked):
@@ -314,7 +318,7 @@ def _fwd_kernel_v3(pack_ref, q_ref, k_ref, v_ref, o_ref, *rest,
         # (per-iteration lax.cond both compiles and runs far slower)
         def go(s_idx, carry):
             m_prev, l_prev, acc = carry
-            tile = pack_ref[b, qt, 2 + s_idx]
+            tile = pack_ref[row + 2 + s_idx]
             start = tile * block_k
             k = k_ref[0, pl.ds(start, block_k), :]
             v = v_ref[0, pl.ds(start, block_k), :]
@@ -344,8 +348,8 @@ def _fwd_kernel_v3(pack_ref, q_ref, k_ref, v_ref, o_ref, *rest,
     init = (jnp.full((block_q, 1), MASK_VALUE, jnp.float32),
             jnp.zeros((block_q, 1), jnp.float32),
             jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32))
-    n_strict = pack_ref[b, qt, 0]
-    n_valid = pack_ref[b, qt, 1]
+    n_strict = pack_ref[row]
+    n_valid = pack_ref[row + 1]
     carry = jax.lax.fori_loop(0, n_strict, body(False), init)
     m, l, acc = jax.lax.fori_loop(n_strict, n_valid, body(True), carry)
     denom = jnp.maximum(l, 1e-9)
@@ -371,8 +375,10 @@ def _fwd_v3(q, k, v, sel, *, block_q, block_k, scale, clamp, interpret,
     b, s, d = q.shape
     n_qt = s // block_q
     n_sel = sel.shape[-1]
+    # FLAT 1-D pack (see _fwd_kernel_v3: 2-D+ SMEM operands lane-pad the
+    # minor dim to 128 — 32x the SMEM at flagship head counts)
     pack = jnp.concatenate([_sel_counts(sel, block_q, block_k), sel],
-                           axis=-1)
+                           axis=-1).reshape(-1)
 
     def q_map(bi, qi, pref):
         return (bi, qi, 0)
@@ -413,6 +419,7 @@ def _bwd_dq_kernel_v3(pack_ref, q_ref, do_ref, lse_ref, dd_ref,
                       scale: float, clamp: Optional[float]):
     b = pl.program_id(0)
     qt = pl.program_id(1)
+    row = (b * pl.num_programs(1) + qt) * (2 + n_sel)   # flat pack rows
     q = q_ref[0]
     do = do_ref[0]
     lse = lse_ref[0]
@@ -420,7 +427,7 @@ def _bwd_dq_kernel_v3(pack_ref, q_ref, do_ref, lse_ref, dd_ref,
 
     def body(masked):
         def go(s_idx, acc):
-            tile = pack_ref[b, qt, 2 + s_idx]
+            tile = pack_ref[row + 2 + s_idx]
             start = tile * block_k
             k = k_ref[0, pl.ds(start, block_k), :]
             v = v_ref[0, pl.ds(start, block_k), :]
@@ -446,8 +453,8 @@ def _bwd_dq_kernel_v3(pack_ref, q_ref, do_ref, lse_ref, dd_ref,
         return go
 
     init = jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32)
-    n_strict = pack_ref[b, qt, 0]
-    n_valid = pack_ref[b, qt, 1]
+    n_strict = pack_ref[row]
+    n_valid = pack_ref[row + 1]
     acc = jax.lax.fori_loop(0, n_strict, body(False), init)
     acc = jax.lax.fori_loop(n_strict, n_valid, body(True), acc)
     dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
@@ -459,6 +466,7 @@ def _bwd_dkv_kernel_v3(rpack_ref, k_ref, v_ref, q_ref, do_ref,
                        scale: float, clamp: Optional[float]):
     b = pl.program_id(0)
     kt = pl.program_id(1)
+    row = (b * pl.num_programs(1) + kt) * (2 + n_hits)  # flat rpack rows
     k = k_ref[0]                                   # [block_k, d]
     v = v_ref[0]
 
@@ -467,7 +475,7 @@ def _bwd_dkv_kernel_v3(rpack_ref, k_ref, v_ref, q_ref, do_ref,
         # SMALLEST valid qt, so masked entries form the prefix
         def go(h_idx, carry):
             dk_acc, dv_acc = carry
-            qt = rpack_ref[b, kt, 2 + h_idx]
+            qt = rpack_ref[row + 2 + h_idx]
             start = qt * block_q
             q = q_ref[0, pl.ds(start, block_q), :]
             do = do_ref[0, pl.ds(start, block_q), :]
@@ -502,8 +510,8 @@ def _bwd_dkv_kernel_v3(rpack_ref, k_ref, v_ref, q_ref, do_ref,
     d = k_ref.shape[-1]
     init = (jnp.zeros((block_k, d), jnp.float32),
             jnp.zeros((block_k, d), jnp.float32))
-    n_masked = rpack_ref[b, kt, 0]
-    n_valid = rpack_ref[b, kt, 1]
+    n_masked = rpack_ref[row]
+    n_valid = rpack_ref[row + 1]
     carry = jax.lax.fori_loop(0, n_masked, body(True), init)
     dk_acc, dv_acc = jax.lax.fori_loop(n_masked, n_valid, body(False),
                                        carry)
@@ -536,7 +544,7 @@ def _bwd_kernels_v3(q, k, v, sel, o, lse, g, *, block_q, block_k, scale,
                  axis=-1, keepdims=True)                   # [B, S, 1]
 
     pack = jnp.concatenate([_sel_counts(sel, block_q, block_k), sel],
-                           axis=-1)
+                           axis=-1).reshape(-1)   # flat 1-D (SMEM padding)
 
     def q_map(bi, qi, pref):
         return (bi, qi, 0)
@@ -576,7 +584,7 @@ def _bwd_kernels_v3(q, k, v, sel, o, lse, g, *, block_q, block_k, scale,
     rmasked = rvalid & ((kt_idx + 1) * block_k - 1 > rsel * block_q)
     rcnt = jnp.stack([rmasked.sum(-1), rvalid.sum(-1)],
                      axis=-1).astype(jnp.int32)
-    rpack = jnp.concatenate([rcnt, rsel], axis=-1)
+    rpack = jnp.concatenate([rcnt, rsel], axis=-1).reshape(-1)
 
     def kt_map(bi, ki, rref):
         return (bi, ki, 0)

@@ -285,7 +285,7 @@ def _rows_kernel(tables, n_tiles, pos, tile_base,                   # SMEM
                  *scratch,
                  ps: int, tps: int, t_max: int, scale: float,
                  clamp: float, write_codes: bool, kv: int,
-                 sel_group: int = 1):
+                 sel_group: int = 1, h_chunk: int = 0):
     """Single-pass whole-slot decode attention.
 
     All heads' (selected) tiles are DMA'd into ONE wide VMEM buffer
@@ -307,12 +307,21 @@ def _rows_kernel(tables, n_tiles, pos, tile_base,                   # SMEM
     heads, so dense mode runs fully grouped with unchanged semantics;
     sparse grouping pools the PQ tile selection across the group
     (cfg.sparse_select_heads — a recall/speed knob; the reference has no
-    decode path at all, SURVEY §0)."""
-    if sel_group == 1:
-        (ks_all, vs_all, c_scr,
+    decode path at all, SURVEY §0).
+
+    h_chunk < kv: heads are processed in kv/h_chunk sequential chunks so
+    the packed buffer holds only h_chunk head-spans — required at
+    flagship head counts (e.g. OPT-1.3B: 32 KV heads x 17 dense tiles
+    would need 17 MB of VMEM). Each chunk DMAs, merges, attends and
+    writes back independently; the per-chunk grouped-DMA width shrinks
+    to g_eff = min(sel_group, h_chunk)."""
+    h_chunk = h_chunk or kv
+    g_eff = min(sel_group, h_chunk)
+    if g_eff == 1:
+        (ks_all, vs_all, c_scr, o_scr,
          sem_l, sem_wk, sem_wv, sem_c) = scratch
     else:
-        (ks_all, vs_all, c_scr, kstg, vstg, stg_wk, stg_wv,
+        (ks_all, vs_all, c_scr, o_scr, kstg, vstg, stg_wk, stg_wv,
          sem_l, sem_wk, sem_wv, sem_c, sem_stg, sem_gw) = scratch
     b = pl.program_id(0)
     g = q_ref.shape[2]
@@ -324,55 +333,11 @@ def _rows_kernel(tables, n_tiles, pos, tile_base,                   # SMEM
     w_tile = tile_base[b] + p_b // ps
     w_col = jax.lax.rem(p_b, ps)
     hspan = t_max * ps                  # lanes per head (per sub-tile u)
-    ltot = kv * hspan
-
-    # ---- stream every (head, entry) tile range into the packed buffers:
-    # entry (h, t) owns lane slice [(h*t_max + t)*ps, ...+ps) with its tps
-    # consecutive tiles stacked on axis 2
-    if sel_group == 1:
-        copies = []
-        for h in range(kv):
-            for t in range(t_max):
-                tid = jnp.maximum(tables[b, h, t], 0)
-                lane0 = (h * t_max + t) * ps
-                ck = pltpu.make_async_copy(
-                    k_ref.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, tps)],
-                    ks_all.at[:, :, :, :, pl.ds(lane0, ps)], sem_l)
-                cv = pltpu.make_async_copy(
-                    v_ref.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, tps)],
-                    vs_all.at[:, :, :, :, pl.ds(lane0, ps)], sem_l)
-                ck.start()
-                cv.start()
-                copies.append((ck, cv))
-    else:
-        # grouped mode: one DMA per table entry covers sel_group heads;
-        # NSTG-deep staging overlaps the next DMA with redistribution
-        n_tab = kv // sel_group
-        entries = [(hg, t) for hg in range(n_tab) for t in range(t_max)]
-
-        def stg_copy(i):
-            hg, t = entries[i]
-            slot = i % NBUF
-            tid = jnp.maximum(tables[b, hg, t], 0)
-            h0 = hg * sel_group
-            ck = pltpu.make_async_copy(
-                k_ref.at[pl.ds(b, 1), pl.ds(h0, sel_group),
-                         pl.ds(tid, tps)],
-                kstg.at[pl.ds(slot, 1)], sem_stg.at[slot])
-            cv = pltpu.make_async_copy(
-                v_ref.at[pl.ds(b, 1), pl.ds(h0, sel_group),
-                         pl.ds(tid, tps)],
-                vstg.at[pl.ds(slot, 1)], sem_stg.at[slot])
-            return ck, cv
-
-        live = {}
-        for i in range(min(NBUF, len(entries))):
-            live[i] = stg_copy(i)
-            live[i][0].start()
-            live[i][1].start()
+    lt_c = h_chunk * hspan              # packed lanes per chunk
 
     # ---- codes slab: read-merge-write [KV, 1, n_sub, ps] at the write
-    # tile (codes are not read by the attention math)
+    # tile (codes are not read by the attention math; independent of the
+    # head chunking)
     if write_codes:
         rc = pltpu.make_async_copy(
             c_ref.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], c_scr, sem_c)
@@ -385,62 +350,197 @@ def _rows_kernel(tables, n_tiles, pos, tile_base,                   # SMEM
             c_scr, c_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_c)
         wc.start()
 
-    if sel_group == 1:
-        for ck, cv in copies:
-            ck.wait()
-            cv.wait()
-    else:
-        for i, (hg, t) in enumerate(entries):
-            ck, cv = live.pop(i)
-            ck.wait()
-            cv.wait()
-            slot = i % NBUF
-            for hr in range(sel_group):
-                h = hg * sel_group + hr
-                lane0 = (h * t_max + t) * ps
-                ks_all[:, :, :, :, pl.ds(lane0, ps)] = \
-                    kstg[slot, hr][None, None]
-                vs_all[:, :, :, :, pl.ds(lane0, ps)] = \
-                    vstg[slot, hr][None, None]
-            nxt = i + NBUF
-            if nxt < len(entries):
-                live[nxt] = stg_copy(nxt)
-                live[nxt][0].start()
-                live[nxt][1].start()
-
-    # ---- merge the new token's K/V columns (per head, in VMEM), then
-    # write the merged write-tile back to HBM
+    # chunk-invariant masks / metadata
     u_w = jax.lax.rem(w_tile, tps)      # sub-tile inside the last entry
     sub_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tps, d, ps), 2)
     lane_i5 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tps, d, ps), 4)
-    for h in range(kv):
-        off = (h * t_max + n_t - 1) * ps
-        kn = kn_ref[0, pl.ds(h, 1)][0]          # [D, 1]
-        vn = vn_ref[0, pl.ds(h, 1)][0]
-        sel = (sub_i == u_w) & (lane_i5 == w_col)
-        ks_all[:, :, :, :, pl.ds(off, ps)] = jnp.where(
-            sel, kn, ks_all[:, :, :, :, pl.ds(off, ps)])
-        vs_all[:, :, :, :, pl.ds(off, ps)] = jnp.where(
-            sel, vn, vs_all[:, :, :, :, pl.ds(off, ps)])
-        if sel_group == 1:
-            wk = pltpu.make_async_copy(
-                ks_all.at[:, :, pl.ds(u_w, 1), :, pl.ds(off, ps)],
-                k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
-                sem_wk.at[h])
-            wv = pltpu.make_async_copy(
-                vs_all.at[:, :, pl.ds(u_w, 1), :, pl.ds(off, ps)],
-                v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
-                sem_wv.at[h])
-            wk.start()
-            wv.start()
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (h_chunk * g, lt_c), 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (h_chunk * g, lt_c), 0)
+    own = (lane_i // hspan) == (row_i // g)
+    col_in_tile = jax.lax.rem(lane_i, ps)
+    e_lane = lane_i[:1] // ps
+    t_lane = jax.lax.rem(e_lane, t_max)
+    # vectorized per-lane table metadata (tables also arrive as a VMEM
+    # tensor so the validity mask is pure vector math, not an unrolled
+    # scalar loop — compile time and scalar-core work both collapse)
+    tvp = tabv_ref[0]                       # [KV/sel_group, t_max]
+    # load q once; chunks take value-level slices (ref-level partial
+    # loads/stores on the head dim trip Mosaic at some shapes); chunk
+    # outputs accumulate in the o_scr VMEM scratch
+    q_full = q_ref[0].reshape(kv * g, d).astype(jnp.float32)
+
+    for h_base in range(0, kv, h_chunk):
+        # ---- stream every (head, entry) tile range of the chunk into
+        # the packed buffers: chunk-local head hh = h - h_base owns lane
+        # slice [(hh*t_max + t)*ps, ...+ps) with its tps consecutive
+        # tiles stacked on axis 2
+        if g_eff == 1:
+            copies = []
+            for hh in range(h_chunk):
+                h = h_base + hh
+                for t in range(t_max):
+                    tid = jnp.maximum(tables[b, h // sel_group, t], 0)
+                    lane0 = (hh * t_max + t) * ps
+                    ck = pltpu.make_async_copy(
+                        k_ref.at[pl.ds(b, 1), pl.ds(h, 1),
+                                 pl.ds(tid, tps)],
+                        ks_all.at[:, :, :, :, pl.ds(lane0, ps)], sem_l)
+                    cv = pltpu.make_async_copy(
+                        v_ref.at[pl.ds(b, 1), pl.ds(h, 1),
+                                 pl.ds(tid, tps)],
+                        vs_all.at[:, :, :, :, pl.ds(lane0, ps)], sem_l)
+                    ck.start()
+                    cv.start()
+                    copies.append((ck, cv))
         else:
-            # stage the merged write-tile column block; ONE grouped
-            # write-back for all heads after the loop
-            stg_wk[:, pl.ds(h, 1)] = ks_all[:, :, pl.ds(u_w, 1), :,
-                                            pl.ds(off, ps)]
-            stg_wv[:, pl.ds(h, 1)] = vs_all[:, :, pl.ds(u_w, 1), :,
-                                            pl.ds(off, ps)]
-    if sel_group > 1:
+            # grouped mode: one DMA per table entry covers g_eff heads;
+            # NBUF-deep staging overlaps the next DMA with redistribution
+            entries = [(h_base + j * g_eff, t)
+                       for j in range(h_chunk // g_eff)
+                       for t in range(t_max)]
+
+            def stg_copy(i):
+                hs, t = entries[i]
+                slot = i % NBUF
+                tid = jnp.maximum(tables[b, hs // sel_group, t], 0)
+                ck = pltpu.make_async_copy(
+                    k_ref.at[pl.ds(b, 1), pl.ds(hs, g_eff),
+                             pl.ds(tid, tps)],
+                    kstg.at[pl.ds(slot, 1)], sem_stg.at[slot])
+                cv = pltpu.make_async_copy(
+                    v_ref.at[pl.ds(b, 1), pl.ds(hs, g_eff),
+                             pl.ds(tid, tps)],
+                    vstg.at[pl.ds(slot, 1)], sem_stg.at[slot])
+                return ck, cv
+
+            live = {}
+            for i in range(min(NBUF, len(entries))):
+                live[i] = stg_copy(i)
+                live[i][0].start()
+                live[i][1].start()
+
+        if g_eff == 1:
+            for ck, cv in copies:
+                ck.wait()
+                cv.wait()
+        else:
+            for i, (hs, t) in enumerate(entries):
+                ck, cv = live.pop(i)
+                ck.wait()
+                cv.wait()
+                slot = i % NBUF
+                for hr in range(g_eff):
+                    hh = (hs - h_base) + hr
+                    lane0 = (hh * t_max + t) * ps
+                    ks_all[:, :, :, :, pl.ds(lane0, ps)] = \
+                        kstg[slot, hr][None, None]
+                    vs_all[:, :, :, :, pl.ds(lane0, ps)] = \
+                        vstg[slot, hr][None, None]
+                nxt = i + NBUF
+                if nxt < len(entries):
+                    live[nxt] = stg_copy(nxt)
+                    live[nxt][0].start()
+                    live[nxt][1].start()
+
+        # ---- merge the new token's K/V columns (per head, in VMEM),
+        # then write the merged write-tile back to HBM
+        for hh in range(h_chunk):
+            h = h_base + hh
+            off = (hh * t_max + n_t - 1) * ps
+            kn = kn_ref[0, pl.ds(h, 1)][0]          # [D, 1]
+            vn = vn_ref[0, pl.ds(h, 1)][0]
+            sel = (sub_i == u_w) & (lane_i5 == w_col)
+            ks_all[:, :, :, :, pl.ds(off, ps)] = jnp.where(
+                sel, kn, ks_all[:, :, :, :, pl.ds(off, ps)])
+            vs_all[:, :, :, :, pl.ds(off, ps)] = jnp.where(
+                sel, vn, vs_all[:, :, :, :, pl.ds(off, ps)])
+            if g_eff == 1:
+                wk = pltpu.make_async_copy(
+                    ks_all.at[:, :, pl.ds(u_w, 1), :, pl.ds(off, ps)],
+                    k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+                    sem_wk.at[h])
+                wv = pltpu.make_async_copy(
+                    vs_all.at[:, :, pl.ds(u_w, 1), :, pl.ds(off, ps)],
+                    v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+                    sem_wv.at[h])
+                wk.start()
+                wv.start()
+            else:
+                # stage the merged write-tile column block (full-KV
+                # staging buffer, ABSOLUTE head index); ONE grouped
+                # write-back for all heads after the chunk loop
+                stg_wk[:, pl.ds(h, 1)] = ks_all[:, :, pl.ds(u_w, 1), :,
+                                                pl.ds(off, ps)]
+                stg_wv[:, pl.ds(h, 1)] = vs_all[:, :, pl.ds(u_w, 1), :,
+                                                pl.ds(off, ps)]
+
+        # ---- attention: per sub-tile u one fat [HC*G, D] x [D, L]
+        # matmul; softmax statistics shared across the tps sub-score
+        # blocks
+        q_all = q_full[h_base * g:(h_base + h_chunk) * g]
+        # chunk's table rows: slice the PHYSICAL table, THEN broadcast
+        # to per-head rows (slicing a broadcast trips Mosaic's window
+        # bounds check — the physical row dim is 1)
+        r0 = h_base // sel_group
+        n_r = max(1, h_chunk // sel_group)
+        rep = h_chunk // n_r
+        tv_c = jnp.broadcast_to(tvp[r0:r0 + n_r][:, None],
+                                (n_r, rep, t_max)).reshape(h_chunk, t_max)
+        tid_lane = jnp.broadcast_to(tv_c[:, :, None],
+                                    (h_chunk, t_max, ps)).reshape(1, lt_c)
+        scs, oks = [], []
+        for u in range(tps):
+            sc = jax.lax.dot_general(
+                q_all, ks_all[0, 0, u].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if clamp > 0.0:
+                sc = jnp.clip(sc, -clamp, clamp)
+            gt = tid_lane + u
+            nv = jnp.where(
+                (tid_lane < 0) | (t_lane >= n_t), 0,
+                jnp.where(gt == w_tile, w_col + 1,
+                          jnp.where(gt < w_tile, ps, 0)))
+            ok = own & (col_in_tile < nv)
+            scs.append(jnp.where(ok, sc, NEG_INF))
+            oks.append(ok)
+        m = scs[0].max(axis=-1, keepdims=True)
+        for u in range(1, tps):
+            m = jnp.maximum(m, scs[u].max(axis=-1, keepdims=True))
+        l = jnp.zeros_like(m)
+        pv = jnp.zeros((h_chunk * g, d), jnp.float32)
+        for u in range(tps):
+            e = jnp.where(oks[u], jnp.exp(scs[u] - m), 0.0)
+            l = l + jnp.sum(e, axis=-1, keepdims=True)
+            v_all = vs_all[0, 0, u]
+            pv = pv + jax.lax.dot_general(e.astype(v_all.dtype), v_all,
+                                          (((1,), (1,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+        out = pv / jnp.maximum(l, 1e-30)
+        if h_chunk == kv:
+            o_ref[0] = out.reshape(kv, g, d).astype(o_ref.dtype)
+        else:
+            o_scr[pl.ds(h_base * g, h_chunk * g)] = out
+
+        # ---- drain the chunk's write-backs before its packed buffers
+        # are reloaded by the next chunk (the attention above already
+        # hid the write latency)
+        if g_eff == 1:
+            for hh in range(h_chunk):
+                h = h_base + hh
+                pltpu.make_async_copy(
+                    ks_all.at[:, :, pl.ds(0, 1), :, pl.ds(0, ps)],
+                    k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+                    sem_wk.at[h]).wait()
+                pltpu.make_async_copy(
+                    vs_all.at[:, :, pl.ds(0, 1), :, pl.ds(0, ps)],
+                    v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+                    sem_wv.at[h]).wait()
+        # grouped mode stages into the full-KV buffer; the single grouped
+        # write happens after the chunk loop (stg_wk is not reloaded by
+        # later chunks, so no per-chunk drain is needed)
+
+    if g_eff > 1:
         gwk = pltpu.make_async_copy(
             stg_wk, k_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_gw)
         gwv = pltpu.make_async_copy(
@@ -448,72 +548,9 @@ def _rows_kernel(tables, n_tiles, pos, tile_base,                   # SMEM
         gwk.start()
         gwv.start()
 
-    # ---- attention: per sub-tile u one fat [KV*G, D] x [D, L] matmul;
-    # softmax statistics shared across the tps sub-score blocks
-    q_all = q_ref[0].reshape(kv * g, d).astype(jnp.float32)
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, (kv * g, ltot), 1)
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (kv * g, ltot), 0)
-    own = (lane_i // hspan) == (row_i // g)
-    col_in_tile = jax.lax.rem(lane_i, ps)
-    # vectorized per-lane table metadata (tables also arrive as a VMEM
-    # tensor so the validity mask is pure vector math, not an unrolled
-    # scalar loop — compile time and scalar-core work both collapse)
-    tv = tabv_ref[0]                        # [KV/sel_group, t_max]
-    if sel_group > 1:
-        tv = jnp.broadcast_to(tv[:, None],
-                              (kv // sel_group, sel_group, t_max)
-                              ).reshape(kv, t_max)
-    tid_lane = jnp.broadcast_to(tv[:, :, None],
-                                (kv, t_max, ps)).reshape(1, ltot)
-    e_lane = lane_i[:1] // ps
-    t_lane = jax.lax.rem(e_lane, t_max)
-    scs, oks = [], []
-    for u in range(tps):
-        sc = jax.lax.dot_general(
-            q_all, ks_all[0, 0, u].astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        if clamp > 0.0:
-            sc = jnp.clip(sc, -clamp, clamp)
-        gt = tid_lane + u
-        nv = jnp.where(
-            (tid_lane < 0) | (t_lane >= n_t), 0,
-            jnp.where(gt == w_tile, w_col + 1,
-                      jnp.where(gt < w_tile, ps, 0)))
-        ok = own & (col_in_tile < nv)
-        scs.append(jnp.where(ok, sc, NEG_INF))
-        oks.append(ok)
-    m = scs[0].max(axis=-1, keepdims=True)
-    for u in range(1, tps):
-        m = jnp.maximum(m, scs[u].max(axis=-1, keepdims=True))
-    l = jnp.zeros_like(m)
-    pv = jnp.zeros((kv * g, d), jnp.float32)
-    for u in range(tps):
-        e = jnp.where(oks[u], jnp.exp(scs[u] - m), 0.0)
-        l = l + jnp.sum(e, axis=-1, keepdims=True)
-        v_all = vs_all[0, 0, u]
-        pv = pv + jax.lax.dot_general(e.astype(v_all.dtype), v_all,
-                                      (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-    out = pv / jnp.maximum(l, 1e-30)
-    o_ref[0] = out.reshape(kv, g, d).astype(o_ref.dtype)
-
-    # ---- drain write-backs
-    if write_codes:
-        pltpu.make_async_copy(
-            c_scr, c_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)],
-            sem_c).wait()
-    if sel_group == 1:
-        for h in range(kv):
-            pltpu.make_async_copy(
-                ks_all.at[:, :, pl.ds(0, 1), :, pl.ds(0, ps)],
-                k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
-                sem_wk.at[h]).wait()
-            pltpu.make_async_copy(
-                vs_all.at[:, :, pl.ds(0, 1), :, pl.ds(0, ps)],
-                v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
-                sem_wv.at[h]).wait()
-    else:
+    if h_chunk != kv:
+        o_ref[0] = o_scr[...].reshape(kv, g, d).astype(o_ref.dtype)
+    if g_eff > 1:
         pltpu.make_async_copy(
             stg_wk, k_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)],
             sem_gw).wait()
@@ -521,15 +558,23 @@ def _rows_kernel(tables, n_tiles, pos, tile_base,                   # SMEM
             stg_wv, v_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)],
             sem_gw).wait()
 
+    # ---- drain the codes write-back
+    if write_codes:
+        pltpu.make_async_copy(
+            c_scr, c_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)],
+            sem_c).wait()
+
 
 @functools.partial(
-    jax.jit, static_argnames=('ps', 'tps', 'scale', 'clamp', 'interpret'))
+    jax.jit, static_argnames=('ps', 'tps', 'scale', 'clamp', 'interpret',
+                              'max_vmem_mb'))
 def decode_attention_rows(q, k_cache, v_cache, c_cache, tables, n_tiles,
                           pos, k_new, v_new, c_new, tile_base=None, *,
                           ps: int = 128,
                           tps: int = 1, scale: float = 1.0,
                           clamp: float = 0.0,
-                          interpret: Optional[bool] = None):
+                          interpret: Optional[bool] = None,
+                          max_vmem_mb: float = 12.0):
     """Contiguous tile-major cache decode attention + in-place append.
 
     q [B, KV, G, D]; caches tile-major [B, KV, NT, D, ps] (ps tokens per
@@ -553,21 +598,45 @@ def decode_attention_rows(q, k_cache, v_cache, c_cache, tables, n_tiles,
     assert kv % n_tab == 0, (kv, n_tab)
     sel_group = kv // n_tab
     write_codes = n_sub > 1
-    vmem_mb = 2 * kv * t_max * tps * ps * d * k_cache.dtype.itemsize / 2**20
-    assert vmem_mb < 12, (
-        f'packed K/V buffers need {vmem_mb:.1f} MB VMEM — reduce the '
-        f'table width (t_max), tps, or split kv heads across calls')
+    # head chunking: the packed buffers hold h_chunk head-spans; flagship
+    # head counts (e.g. 32 KV heads x 17 dense tiles at OPT-1.3B) exceed
+    # VMEM whole-slot, so heads run in sequential chunks
+    h_chunk = kv
+    def _mb(hc):
+        return 2 * hc * t_max * tps * ps * d \
+            * k_cache.dtype.itemsize / 2**20
+
+    def _ok(hc):
+        if _mb(hc) >= max_vmem_mb:
+            return False
+        # empirical Mosaic limit: CHUNKED kernels (hc < kv) with a packed
+        # minor dim over 2^15 lanes abort tpu_compile_helper ("limits[i]
+        # <= dim(i)"); whole-slot kernels at the same width compile fine
+        return hc == kv or hc * t_max * tps * ps <= 2 ** 15
+    while h_chunk > 1 and not _ok(h_chunk):
+        # chunk size must divide kv AND nest with the selection grouping
+        # (chunk table rows are an exact slice-then-broadcast)
+        h_chunk = next(c for c in range(h_chunk - 1, 0, -1)
+                       if kv % c == 0
+                       and (c % sel_group == 0 or sel_group % c == 0))
+    assert _ok(h_chunk), (
+        f'packed K/V buffers need {_mb(h_chunk):.1f} MB VMEM even at one '
+        f'head per chunk — reduce the table width (t_max) or tps')
+    g_eff = min(sel_group, h_chunk)
     if tile_base is None:
         tile_base = jnp.zeros((b,), jnp.int32)
     scratch = [
-        pltpu.VMEM((1, 1, tps, d, kv * t_max * ps), k_cache.dtype),
-        pltpu.VMEM((1, 1, tps, d, kv * t_max * ps), v_cache.dtype),
+        pltpu.VMEM((1, 1, tps, d, h_chunk * t_max * ps), k_cache.dtype),
+        pltpu.VMEM((1, 1, tps, d, h_chunk * t_max * ps), v_cache.dtype),
         pltpu.VMEM((1, kv, 1, n_sub, ps), c_cache.dtype),
+        pltpu.VMEM((kv * g, d), jnp.float32),   # chunked-output staging
     ]
-    if sel_group > 1:
+    if g_eff > 1:
         scratch += [
-            pltpu.VMEM((NBUF, sel_group, tps, d, ps), k_cache.dtype),
-            pltpu.VMEM((NBUF, sel_group, tps, d, ps), v_cache.dtype),
+            pltpu.VMEM((NBUF, g_eff, tps, d, ps), k_cache.dtype),
+            pltpu.VMEM((NBUF, g_eff, tps, d, ps), v_cache.dtype),
+            # full-KV write-tile staging (all chunks stage here; ONE
+            # grouped write after the chunk loop)
             pltpu.VMEM((1, kv, 1, d, ps), k_cache.dtype),
             pltpu.VMEM((1, kv, 1, d, ps), v_cache.dtype),
         ]
@@ -577,7 +646,7 @@ def decode_attention_rows(q, k_cache, v_cache, c_cache, tables, n_tiles,
         pltpu.SemaphoreType.DMA((kv,)),
         pltpu.SemaphoreType.DMA(()),
     ]
-    if sel_group > 1:
+    if g_eff > 1:
         scratch += [
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA(()),
@@ -606,7 +675,7 @@ def decode_attention_rows(q, k_cache, v_cache, c_cache, tables, n_tiles,
     kernel = functools.partial(_rows_kernel, ps=ps, tps=tps, t_max=t_max,
                                scale=scale, clamp=clamp,
                                write_codes=write_codes, kv=kv,
-                               sel_group=sel_group)
+                               sel_group=sel_group, h_chunk=h_chunk)
     o, k2, v2, c2 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

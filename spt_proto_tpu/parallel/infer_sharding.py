@@ -26,21 +26,32 @@ def shard_inference_weights(mesh: Mesh, iw: InferenceWeights
     return InferenceWeights(cfg=iw.cfg, params=params, quant=iw.quant)
 
 
-def cache_shardings(mesh: Mesh, cache: KVCache) -> KVCache:
+def cache_shardings(mesh: Mesh, cache: KVCache,
+                    batch_axis: str = 'data',
+                    head_axis: str = 'model') -> KVCache:
+    """batch_axis=None: shard heads only (e.g. [1, ...] prefill mini
+    caches, whose slot dim cannot divide over 'data')."""
     # tile-major layout [B, KV, L*NT, D, TILE]
-    kv = NamedSharding(mesh, P('data', 'model', None, None, None))
+    kv = NamedSharding(mesh, P(batch_axis, head_axis, None, None, None))
     scales = dict()
     if cache.quantized:
         # scale layout [B, L*NT, KV, TILE] — heads on dim 2
-        sc = NamedSharding(mesh, P('data', None, 'model', None))
+        sc = NamedSharding(mesh, P(batch_axis, None, head_axis, None))
         scales = dict(k_scale=sc, v_scale=sc)
     return KVCache(
         k=kv, v=kv, codes=kv,
-        length=NamedSharding(mesh, P('data')), **scales)
+        length=NamedSharding(mesh, P(batch_axis)), **scales)
 
 
-def shard_cache(mesh: Mesh, cache: KVCache) -> KVCache:
-    sh = cache_shardings(mesh, cache)
+def shard_cache(mesh: Mesh, cache: KVCache,
+                batch_axis: str = 'data') -> KVCache:
+    if batch_axis == 'data' and \
+            cache.k.shape[0] % mesh.shape['data'] != 0:
+        batch_axis = None       # e.g. a single-slot mini cache
+    head_axis = 'model' if cache.k.shape[1] % mesh.shape['model'] == 0 \
+        else None               # non-dividing KV heads: replicate
+    sh = cache_shardings(mesh, cache, batch_axis=batch_axis,
+                         head_axis=head_axis)
     scales = dict()
     if cache.quantized:
         scales = dict(k_scale=jax.device_put(cache.k_scale, sh.k_scale),

@@ -311,3 +311,40 @@ def test_decode_sparse_select_heads_end_to_end():
     a, b_ = outs[1], outs[cfg.kv_heads]
     na = np.linalg.norm(a - b_) / np.linalg.norm(a)
     assert na < 1.0, na
+
+
+@pytest.mark.parametrize('mode', ['dense', 'sparse'])
+def test_rows_kernel_head_chunked(mode):
+    """Forcing h_chunk < kv (the flagship-head-count VMEM path, e.g.
+    OPT-1.3B's 32 KV heads x 17 dense tiles) must be bit-identical to the
+    whole-slot kernel."""
+    args = _setup_rows(kv=4, g=2,
+                       sparse_sel=3 if mode == 'sparse' else None)
+    scale = 64 ** -0.5
+    clamp = 10.0 if mode == 'sparse' else 0.0
+    whole = decode_attention_rows(*args, ps=32, scale=scale, clamp=clamp,
+                                  interpret=True)
+    # budget that only fits 2 (then 1) head-spans per chunk
+    per_head_mb = 2 * 1 * args[4].shape[2] * 32 * 64 * 4 / 2**20
+    for hc in (2, 1):
+        chunked = decode_attention_rows(
+            *args, ps=32, scale=scale, clamp=clamp, interpret=True,
+            max_vmem_mb=per_head_mb * hc * 1.01)
+        for w, c in zip(whole, chunked):
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(c))
+
+
+def test_rows_kernel_grouped_head_chunked():
+    """Grouped tables (sel_group > h_chunk): per-chunk DMAs shrink to
+    g_eff heads but results stay bit-identical."""
+    args = list(_setup_rows(kv=4, g=1))
+    tables = np.asarray(args[4])[:, :1]     # ONE table row for all heads
+    args[4] = jnp.asarray(tables)
+    whole = decode_attention_rows(*args, ps=32, scale=0.125,
+                                  interpret=True)
+    per_head_mb = 2 * 1 * tables.shape[2] * 32 * 64 * 4 / 2**20
+    chunked = decode_attention_rows(*args, ps=32, scale=0.125,
+                                    interpret=True,
+                                    max_vmem_mb=per_head_mb * 2 * 1.01)
+    for w, c in zip(whole, chunked):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(c))
