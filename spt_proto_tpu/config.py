@@ -137,9 +137,10 @@ class ModelConfig:
         if self.attention == ATTN_SPARSE_V2:
             assert self.kv_heads % self.sparse_select_heads == 0, \
                 (self.kv_heads, self.sparse_select_heads)
-        if self.context_parallel:
-            assert self.attention != ATTN_SPARSE_V2, \
-                'context parallelism supports dense/v1 attention only'
+        # context parallelism composes with every attention mode:
+        # dense/v1 ride ring attention, sparse_v2 rides
+        # ring_sparse_attention_local (global PQ selection from
+        # all-gathered codes; ops/ring_attention.py)
 
 
 # Canonical model menu (ref script/1-convert.py:202-206)

@@ -111,6 +111,20 @@ class MultiheadAttention(nn.Module):
         q_codes = self.quantizer.encode(qf)
         k_codes = self.quantizer.encode(kf)
 
+        if cfg.context_parallel:
+            # inside a shard_map: chunks select GLOBALLY from all-gathered
+            # K-codes, then K/V ride the ring (ops/ring_attention.py) —
+            # sparse x CP composed (the reference's two long-context
+            # levers; it can only do one at a time)
+            from spt_proto_tpu.ops.ring_attention import \
+                ring_sparse_attention_local
+            yf = ring_sparse_attention_local(
+                qf, kf, vf, q_codes, k_codes, axis_name=cfg.cp_axis,
+                scale=scale, clamp=cfg.score_clamp,
+                sparse_coeff=cfg.sparse_coeff,
+                n_codewords=cfg.n_codewords)
+            return yf.reshape(b, h, s, e).transpose(0, 2, 1, 3), aux
+
         blk_k = 128
         # larger q tiles amortize grid overhead (measured ~1.4x at S=4096);
         # selection granularity stays at blk_k

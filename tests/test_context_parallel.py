@@ -72,11 +72,12 @@ def test_cp_long_sequence_trains():
     assert float(m2['ce']) < float(m['ce'])   # it actually learns
 
 
-def test_cp_rejects_sparse_v2():
+def test_cp_accepts_sparse_v2():
+    """The r2 exclusion is LIFTED: sparse_v2 composes with CP
+    (ring_sparse_attention_local; parity tests below)."""
     cfg = tiny_config('opt').replace(context_parallel=True,
                                      attention='sparse_v2')
-    with pytest.raises(AssertionError):
-        cfg.validate()
+    cfg.validate()
 
 
 def test_train_loop_cp_mode():
@@ -125,3 +126,58 @@ def test_tune_cli_cp_mode(tmp_path, capsys):
     final = json.loads(lines[-1])
     assert final['delta_params'] > 0
     assert np.isfinite(json.loads(lines[0])['loss'])
+
+
+@pytest.mark.parametrize('arch', ['opt', 'llama'])
+def test_cp_sparse_step_matches_single_device(arch):
+    """sparse_v2 x CP (VERDICT r2 #4): the CP train step with PQ sparse
+    attention — global selection from all-gathered codes + ring K/V —
+    matches the unsharded sparse step numerically, S=128 over 4 shards."""
+    cfg = tiny_config(arch, vocab_size=64, max_length=256).replace(
+        attention='sparse_v2', d_codeword=4, n_codewords=8, sparse_coeff=4)
+    cfg.validate()
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(params, freeze_base=False)
+    batch = _batch(cfg, b=4, s=128)
+
+    state1 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step1 = jax.jit(make_train_step(cfg, tx, train_quantizer=True))
+    state1, m1 = step1(state1, batch)
+
+    cfg_cp = cfg.replace(context_parallel=True)
+    cfg_cp.validate()
+    mesh = make_mesh(2, 1, n_sp=4)
+    with mesh:
+        step2 = make_cp_train_step(cfg_cp, tx, mesh, train_quantizer=True)
+        sb = jax.device_put(batch, step2.batch_shardings())
+        state2 = TrainState(params, tx.init(params),
+                            jnp.zeros((), jnp.int32))
+        state2, m2 = jax.jit(step2)(state2, sb)
+    np.testing.assert_allclose(float(m1['ce']), float(m2['ce']), rtol=2e-5)
+    np.testing.assert_allclose(float(m1['pq_loss']), float(m2['pq_loss']),
+                               rtol=2e-5)
+    a = flatten(jax.device_get(state1.params))
+    b_ = flatten(jax.device_get(state2.params))
+    for key in a:
+        np.testing.assert_allclose(a[key], b_[key], atol=5e-5, err_msg=key)
+
+
+def test_cp_sparse_long_sequence_trains():
+    """Sparse attention at S=512 over 8 shards: the flagship long-context
+    mode (sparsity AND sequence sharding composed) runs end-to-end."""
+    cfg = tiny_config('opt', vocab_size=64, max_length=1024).replace(
+        attention='sparse_v2', d_codeword=4, n_codewords=8, sparse_coeff=8,
+        context_parallel=True)
+    cfg.validate()
+    params = surgery.init_params(cfg.replace(context_parallel=False),
+                                 jax.random.PRNGKey(0))
+    tx = make_optimizer(params, freeze_base=False)
+    mesh = make_mesh(1, 1, n_sp=8)
+    with mesh:
+        step = make_cp_train_step(cfg, tx, mesh, train_quantizer=False)
+        sb = jax.device_put(_batch(cfg, b=2, s=512),
+                            step.batch_shardings())
+        state = TrainState(params, tx.init(params),
+                           jnp.zeros((), jnp.int32))
+        state, m = jax.jit(step)(state, sb)
+    assert np.isfinite(float(m['ce'])), m
