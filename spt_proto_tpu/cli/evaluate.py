@@ -54,6 +54,7 @@ def main(argv=None):
                            batch_size=args.batch_size)
     metrics = evaluate(cfg, params, batches, max_batches=args.max_batches)
     print(json.dumps(metrics))
+    return metrics
 
 
 if __name__ == '__main__':

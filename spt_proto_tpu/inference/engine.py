@@ -94,6 +94,20 @@ class KVCache:
 # primitive helpers (mirror layers/ math bit-for-bit)
 # ---------------------------------------------------------------------------
 
+def _qkv_proj(mha: dict, x: jax.Array):
+    """q/k/v projections: ONE fused [3, D, O] einsum when the weights
+    carry the fused form (inference/weights.py — per-matmul dispatch
+    overhead dominates at decode m=batch), else three matmuls."""
+    if 'qkv' in mha:
+        w = mha['qkv']
+        y = jnp.einsum('bsd,tdo->tbso', x, w['kernel'])
+        if 'bias' in w:
+            y = y + w['bias'][:, None, None, :]
+        return y[0], y[1], y[2]
+    return (_dense(mha['q'], x), _dense(mha['k'], x),
+            _dense(mha['v'], x))
+
+
 def _dense(p: dict, x: jax.Array) -> jax.Array:
     kernel = p['kernel']
     if isinstance(kernel, dict):        # int8 weight-only
@@ -242,9 +256,7 @@ def prefill(iw: InferenceWeights, tokens: jax.Array,
 
     def layer(x, bp):
         hn = _norm(cfg, bp['norm1'], x)
-        q = _dense(bp['mha']['q'], hn)
-        k = _dense(bp['mha']['k'], hn)
-        v = _dense(bp['mha']['v'], hn)
+        q, k, v = _qkv_proj(bp['mha'], hn)
         q = q.reshape(b, s, cfg.n_heads, cfg.d_head).transpose(0, 2, 1, 3)
         kvh = lambda t: t.reshape(b, s, cfg.kv_heads, cfg.d_head).transpose(
             0, 2, 1, 3)                           # [B, KV, S, D]
@@ -487,9 +499,7 @@ def prefill_chunk_compute(iw: InferenceWeights, tokens: jax.Array,
         x, kc, vc, cc, ksc, vsc = carry
         bp, lix, k_past, v_past, c_past0 = inp
         hn = _norm(cfg, bp['norm1'], x)
-        q = _dense(bp['mha']['q'], hn)
-        k = _dense(bp['mha']['k'], hn)
-        v = _dense(bp['mha']['v'], hn)
+        q, k, v = _qkv_proj(bp['mha'], hn)
         q = q.reshape(b, c, cfg.n_heads, cfg.d_head).transpose(0, 2, 1, 3)
         kvh = lambda t: t.reshape(b, c, kv, cfg.d_head).transpose(0, 2, 1, 3)
         k_new, v_new = kvh(k), kvh(v)                      # [1, KV, C, D]
@@ -625,9 +635,7 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
         x, kc, vc, cc, ksc, vsc = carry
         bp, lix = inp
         hn = _norm(cfg, bp['norm1'], x)
-        q = _dense(bp['mha']['q'], hn)
-        k = _dense(bp['mha']['k'], hn)
-        v = _dense(bp['mha']['v'], hn)
+        q, k, v = _qkv_proj(bp['mha'], hn)
         q4 = q.reshape(b, kv, g, cfg.d_head)              # [B, KV, G, D]
         k_new = k.reshape(b, kv, cfg.d_head)
         v_new = v.reshape(b, kv, cfg.d_head)
@@ -857,11 +865,12 @@ def verify_step(iw: InferenceWeights, tokens: jax.Array,
         x, kc, vc, cc, ksc, vsc = carry
         bp, lix = inp
         hn = _norm(cfg, bp['norm1'], x)
-        q = _dense(bp['mha']['q'], hn).reshape(
+        q3, k3, v3 = _qkv_proj(bp['mha'], hn)
+        q = q3.reshape(
             b, kk, kv * g, dh).transpose(0, 2, 1, 3)      # [B, H, K, D]
-        k_new = _dense(bp['mha']['k'], hn).reshape(
+        k_new = k3.reshape(
             b, kk, kv, dh).transpose(0, 2, 1, 3)          # [B, KV, K, D]
-        v_new = _dense(bp['mha']['v'], hn).reshape(
+        v_new = v3.reshape(
             b, kk, kv, dh).transpose(0, 2, 1, 3)
         if cfg.arch == 'llama':
             q = _apply_rope_1(q, wpos, cfg.rope_base)

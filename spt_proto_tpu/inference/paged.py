@@ -33,7 +33,8 @@ import numpy as np
 
 from spt_proto_tpu.config import ATTN_SPARSE_V2, ModelConfig
 from spt_proto_tpu.inference.engine import (NEG_INF, _apply_rope_1, _dense,
-                                            _encode_codes, _ffn, _norm)
+                                            _encode_codes, _ffn, _norm,
+                                            _qkv_proj)
 from spt_proto_tpu.inference.weights import InferenceWeights
 from spt_proto_tpu.models.decoder import PE_OFFSET
 
@@ -392,9 +393,7 @@ def paged_decode_step(iw: InferenceWeights, tokens: jax.Array,
         x, k_pages, v_pages, c_pages, k_scales, v_scales = carry
         bp, lix = inp
         hn = _norm(cfg, bp['norm1'], x)
-        q = _dense(bp['mha']['q'], hn)
-        k = _dense(bp['mha']['k'], hn)
-        v = _dense(bp['mha']['v'], hn)
+        q, k, v = _qkv_proj(bp['mha'], hn)
         q = q.reshape(b, cfg.n_heads, cfg.d_head)
         k = k.reshape(b, kv, cfg.d_head)                 # [B, KV, D]
         v = v.reshape(b, kv, cfg.d_head)

@@ -81,6 +81,26 @@ class InferenceWeights:
                        'norm2': blocks['norm2']}
         for name in ('q', 'k', 'v', 'o'):
             b_out['mha'][name] = fold_lora(blocks['mha'][name])
+        if cfg.kv_heads == cfg.n_heads and quant != 'int8':
+            # fuse q/k/v into ONE [L, 3, D, O] projection: at decode
+            # (m = batch) the per-matmul dispatch overhead — not
+            # bandwidth — dominates the proj half of the step, so one
+            # fat einsum beats three skinny matmuls. The stack axis
+            # keeps TP alignment: sharding the LAST dim on 'model'
+            # shards each of q/k/v by head, exactly like the separate
+            # form (parallel/sharding.py mha/qkv rule). GQA (kv < h)
+            # keeps separate projections (widths differ); int8 keeps
+            # separate (the dequant kernel is 2-D).
+            qkv = {'kernel': jnp.stack(
+                [b_out['mha'][n]['kernel'] for n in ('q', 'k', 'v')],
+                axis=-3)}
+            if 'bias' in b_out['mha']['q']:
+                qkv['bias'] = jnp.stack(
+                    [b_out['mha'][n]['bias'] for n in ('q', 'k', 'v')],
+                    axis=-2)
+            for n in ('q', 'k', 'v'):
+                del b_out['mha'][n]
+            b_out['mha']['qkv'] = qkv
         if 'quantizer' in blocks['mha']:
             b_out['mha']['quantizer'] = blocks['mha']['quantizer']
         ffn_names = ('gate', 'side', 'down') if cfg.ffn_gated \

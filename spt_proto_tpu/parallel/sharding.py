@@ -33,6 +33,10 @@ from spt_proto_tpu.utils.tree import flatten, unflatten
 # Stacked block params get the layer axis prepended automatically.
 _BLOCK_RULES = [
     # attention projections: q/k/v shard the head (output) dim, o the input
+    # (the serving-side fused form [3, D, O] shards the same output dim —
+    # each of q/k/v lands head-aligned on 'model', inference/weights.py)
+    (r'mha/qkv/kernel$', P(None, None, 'model')),
+    (r'mha/qkv/bias$', P(None, 'model')),
     (r'mha/(q|k|v)/kernel$', P(None, 'model')),
     (r'mha/(q|k|v)/bias$', P('model')),
     (r'mha/(q|k|v)/lora_right$', P('model', None)),

@@ -55,10 +55,10 @@ def test_weight_shardings_place_heads_on_model_axis():
     iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
     mesh = make_mesh(1, 8)
     iw_s = shard_inference_weights(mesh, iw)
-    q = iw_s.params['blocks']['mha']['q']['kernel']
-    # output dim sharded 8-way
+    q = iw_s.params['blocks']['mha']['qkv']['kernel']   # fused [L,3,D,O]
+    # output dim sharded 8-way (head-aligned for each of q/k/v)
     assert q.sharding.spec == jax.sharding.PartitionSpec(
-        None, None, 'model')
+        None, None, None, 'model')
     shard_shape = q.sharding.shard_shape(q.shape)
     assert shard_shape[-1] == q.shape[-1] // 8
 
