@@ -19,6 +19,7 @@ fake the numbers.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -151,6 +152,21 @@ def main():
                                 steps, quantized_kv=True) if on_tpu else 0.0
     sparse_dec = max(sparse_int8, sparse_bf16)
 
+    # --- flagship scale: OPT-1.3B decode (BASELINE's ladder starts at
+    # 1.3B; benchmarks/bench_ladder.py has the full ladder incl. 2.7B
+    # and train steps). Random-init real-shape weights on the chip;
+    # HBM from XLA's compiled memory analysis (device.memory_stats()
+    # is unavailable through the axon tunnel). Guarded: a failure here
+    # must not take down the headline.
+    big = {}
+    if on_tpu and not os.environ.get('SPT_BENCH_FAST'):
+        try:
+            big = _bench_1p3b()
+        except Exception as e:
+            import sys
+            print(f'WARNING: 1.3B bench failed ({type(e).__name__}: {e})',
+                  file=sys.stderr)
+
     # --- forward (reference's regime, supplementary) ------------------
     fbatch, fseq = (4, 2048) if on_tpu else (2, 256)
     base = dict(arch='opt', d_model=768, n_heads=12, n_layers=4,
@@ -180,7 +196,37 @@ def main():
         'decode_batch': batch,
         'forward_tokens_per_sec': round(sparse_fwd, 1),
         'forward_vs_dense': round(sparse_fwd / dense_fwd, 3),
+        **big,
     }))
+
+
+def _bench_1p3b(batch: int = 8, ctx: int = 2048, steps: int = 24):
+    """OPT-1.3B decode: dense vs sparse-int8 (the flagship serving
+    config), with XLA-reported HBM peaks."""
+    import jax
+
+    from benchmarks.bench_ladder import bench_decode
+    from spt_proto_tpu.config import opt_config
+    from spt_proto_tpu.tuning import surgery
+    max_len = ctx + 128
+    cfg = opt_config('1.3b', dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                     attn_impl='pallas', pq_metric='l2', max_length=max_len)
+    params = jax.device_get(surgery.init_params(cfg, jax.random.PRNGKey(0)))
+    scfg, sparams = surgery.upgrade(cfg, params, 'mha_v1',
+                                    jax.random.PRNGKey(0))
+    scfg, sparams = surgery.upgrade(scfg, sparams, 'mha_v2',
+                                    jax.random.PRNGKey(1))
+    sparams = jax.device_get(sparams)
+    d_tps, d_mem = bench_decode(cfg, params, batch, ctx, max_len, steps)
+    s_tps, s_mem = bench_decode(scfg, sparams, batch, ctx, max_len, steps,
+                                quantized_kv=True)
+    return {
+        'decode_1p3b_dense_tokens_per_sec': round(d_tps, 1),
+        'decode_1p3b_sparse_int8_tokens_per_sec': round(s_tps, 1),
+        'decode_1p3b_sparse_vs_dense': round(s_tps / d_tps, 3),
+        'decode_1p3b_dense_hbm_gb': d_mem,
+        'decode_1p3b_sparse_int8_hbm_gb': s_mem,
+    }
 
 
 if __name__ == '__main__':

@@ -60,11 +60,19 @@ class KVCache:
     k_scale: Optional[jax.Array] = None   # [B, L*NT, KV, TILE] f32
     v_scale: Optional[jax.Array] = None   # [B, L*NT, KV, TILE] f32
 
+    # NOTE codes width: the CACHE stores code columns at code_width(cfg)
+    # — cfg.n_subspaces rounded up past 8 to a multiple of 8 (int32
+    # sublane tile), because a second-minor dim that STRADDLES a sublane
+    # tile (e.g. OPT-2.7B's d_head 80 -> n_subspaces 10) faults Mosaic's
+    # tile DMAs at runtime (TPU worker crash; also docs/PERF.md round-2
+    # scale-slab note). Pad columns hold -2 and every match computation
+    # slices [:n_subspaces], so semantics are unchanged.
+
     @staticmethod
     def create(cfg: ModelConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16, quantized: bool = False) -> 'KVCache':
         l, h, d = cfg.n_layers, cfg.kv_heads, cfg.d_head
-        n_sub = cfg.n_subspaces if cfg.attention == ATTN_SPARSE_V2 else 1
+        n_sub = code_width(cfg)
         nt = -(-max_len // TILE)
         kv_dtype = jnp.int8 if quantized else dtype
         scales = dict()
@@ -93,6 +101,29 @@ class KVCache:
 # ---------------------------------------------------------------------------
 # primitive helpers (mirror layers/ math bit-for-bit)
 # ---------------------------------------------------------------------------
+
+def code_width(cfg: ModelConfig) -> int:
+    """Stored width of the PQ-code columns in the KV cache: 1 when dense;
+    n_subspaces when it fits one int32 sublane tile (<= 8); else rounded
+    up to a multiple of 8 (straddling widths fault Mosaic tile DMAs —
+    see KVCache note)."""
+    if cfg.attention != ATTN_SPARSE_V2:
+        return 1
+    n = cfg.n_subspaces
+    return n if n <= 8 else -(-n // 8) * 8
+
+
+def _fit_codes(codes: jax.Array, w: int) -> jax.Array:
+    """Pad (with -2: never matches a real code) or slice the code dim to
+    the cache's stored width."""
+    n = codes.shape[-1]
+    if n == w:
+        return codes
+    if n > w:
+        return codes[..., :w]
+    pad = [(0, 0)] * (codes.ndim - 1) + [(0, w - n)]
+    return jnp.pad(codes, pad, constant_values=-2)
+
 
 def _qkv_proj(mha: dict, x: jax.Array):
     """q/k/v projections: ONE fused [3, D, O] einsum when the weights
@@ -352,7 +383,7 @@ def prefill(iw: InferenceWeights, tokens: jax.Array,
             view, tiles.astype(big.dtype), (0, 0, 0, 0, 0, 0))
         return view.reshape(big.shape)
 
-    codes = codes.astype(jnp.int32)[..., :cache.codes.shape[3]]
+    codes = _fit_codes(codes.astype(jnp.int32), cache.codes.shape[3])
     scales = dict()
     if cache.quantized:
         ks, ksc = _quantize_kv(ks)         # [L,B,KV,S,D] -> + [L,B,KV,S]
@@ -526,7 +557,10 @@ def prefill_chunk_compute(iw: InferenceWeights, tokens: jax.Array,
             c_new = _encode_codes(
                 cfg, bp['mha']['quantizer'],
                 k_new.reshape(kv, c, cfg.d_head))          # [KV, C, n_sub]
-            codes_k = jnp.concatenate([c_past0[0], c_new], axis=1)  # [KV,S,n]
+            # past codes arrive at the STORED width (maybe padded,
+            # KVCache note); match over the true subspaces only
+            codes_k = jnp.concatenate(
+                [c_past0[0][..., :cfg.n_subspaces], c_new], axis=1)
             codes_k = jnp.repeat(codes_k, g, axis=0)       # [H, S, n_sub]
             from spt_proto_tpu.ops.lookup import pq_match_scores
             match = pq_match_scores(codes_q, codes_k, cfg.n_codewords)
@@ -566,7 +600,8 @@ def prefill_chunk_compute(iw: InferenceWeights, tokens: jax.Array,
             k_w, v_w = k_new, v_new
         kc = write(kc, k_w)
         vc = write(vc, v_w)
-        cc = write(cc, c_new[None].astype(jnp.int32))
+        cc = write(cc, _fit_codes(c_new, cc.shape[3])[None]
+                   .astype(jnp.int32))
         return (x, kc, vc, cc, ksc, vsc), None
 
     (x, kc, vc, cc, ksc, vsc), _ = jax.lax.scan(
@@ -624,6 +659,16 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
     sparse = cfg.attention == ATTN_SPARSE_V2
     scale = cfg.d_head ** -0.5
     kv, g = cfg.kv_heads, cfg.kv_groups
+    # multi-slot kernel envelope: at flagship shapes outside it (e.g.
+    # OPT-2.7B: d_head 80, 32 KV heads, n_sub 10) the ms kernel faults
+    # the TPU worker non-deterministically in the decode_step context —
+    # the same call in isolation passes, which points at a DMA-timing
+    # race the whole-step schedule exposes. Until root-caused, ms runs
+    # only inside the envelope it has been soak-tested in (OPT-125M-
+    # class: d_head 64/128, <=16 KV heads, <=8 PQ subspaces); the grid
+    # kernel (proven at 2.7B shapes) serves everything else.
+    ms_envelope = cfg.d_head in (64, 128) and kv <= 16 \
+        and (cfg.attention != ATTN_SPARSE_V2 or cfg.n_subspaces <= 8)
     cur = pos // TILE                                     # [B]
     # dense tables cover [0, cur] in tps-wide supertiles (fat DMAs)
     tps_d = 4 if nt % 4 == 0 and nt >= 8 else 1
@@ -650,11 +695,14 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
             codes_q = _encode_codes(cfg, bp['mha']['quantizer'],
                                     q4.reshape(b, kv * g, cfg.d_head))
             codes_q = codes_q.reshape(b, kv, g, -1)
-            c_new = _encode_codes(cfg, bp['mha']['quantizer'], k_new)
-            # per-layer code tiles [B, KV, NT, n_sub, T]
+            c_new = _fit_codes(
+                _encode_codes(cfg, bp['mha']['quantizer'], k_new),
+                cc.shape[3])
+            # per-layer code tiles [B, KV, NT, w, T]; match over the TRUE
+            # subspaces only (stored width may be padded, KVCache note)
             c_l = jax.lax.dynamic_slice(
                 cc, (0, 0, lix * nt, 0, 0),
-                (b, kv, nt, cc.shape[3], TILE))
+                (b, kv, nt, cc.shape[3], TILE))[:, :, :, :cfg.n_subspaces]
             match = jnp.sum(
                 (c_l[:, :, None] == codes_q[:, :, :, None, :, None]
                  ).astype(jnp.float32), axis=4)            # [B,KV,G,NT,T]
@@ -712,7 +760,8 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
             # code also overflows the 1 MB SMEM - cap at 512
             unroll = b * kv * tables.shape[2]
             fn = decode_attention_rows_q_ms \
-                if cfg.decode_multislot and stage_mb < 11 and unroll <= 512 \
+                if cfg.decode_multislot and ms_envelope \
+                and stage_mb < 11 and unroll <= 512 \
                 else decode_attention_rows_q
             o, kc, vc, cc, ksc, vsc = fn(
                 q4, kc, vc, cc, ksc, vsc, tables.astype(jnp.int32),
@@ -728,7 +777,8 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
             # unroll cap: see the quantized branch
             unroll = b * kv * tables.shape[2]
             fn = decode_attention_rows_ms \
-                if cfg.decode_multislot and stage_mb < 11 and unroll <= 512 \
+                if cfg.decode_multislot and ms_envelope \
+                and stage_mb < 11 and unroll <= 512 \
                 else decode_attention_rows
             o, kc, vc, cc = fn(
                 q4, kc, vc, cc, tables.astype(jnp.int32), n_tiles, pos,
@@ -838,10 +888,11 @@ def verify_step(iw: InferenceWeights, tokens: jax.Array,
         the top nsel-1 FULL tiles by group-pooled match mean (the exact
         decode_step rule, jax.lax.top_k tie-breaking included)."""
         keep_j = []
+        c_lt = c_li[:, :, :, :cfg.n_subspaces]   # true-width codes
         for j in range(kk):
             cq = codes_q[:, :, :, j]                      # [B,KV,G,n_sub]
             match = jnp.sum(
-                (c_li[:, :, None] == cq[:, :, :, None, :, None]
+                (c_lt[:, :, None] == cq[:, :, :, None, :, None]
                  ).astype(jnp.float32), axis=4)           # [B,KV,G,NT,T]
             tsc = match.mean(axis=(2, 4))                 # [B, KV, NT]
             if gsel > 1:
@@ -878,7 +929,9 @@ def verify_step(iw: InferenceWeights, tokens: jax.Array,
         if sparse:
             codes_q = _encode_codes(cfg, bp['mha']['quantizer'],
                                     q.reshape(b, kv, g, kk, dh))
-            c_new = _encode_codes(cfg, bp['mha']['quantizer'], k_new)
+            c_new = _fit_codes(
+                _encode_codes(cfg, bp['mha']['quantizer'], k_new),
+                cc.shape[3])
             c_li = insert_cols(
                 jax.lax.dynamic_slice(cc, (0, 0, lix * nt, 0, 0),
                                       (b, kv, nt, cc.shape[3], TILE)),

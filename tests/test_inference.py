@@ -313,3 +313,43 @@ def test_prefill_chunk_matches_prefill():
         np.testing.assert_allclose(np.asarray(cache_c.v),
                                    np.asarray(cache_f.v), atol=1e-5)
         assert int(cache_c.length[0]) == int(cache_f.length[0]) == 384
+
+
+def test_straddling_subspace_count_padded_cache():
+    """n_subspaces that straddle the int32 sublane tile (e.g. OPT-2.7B:
+    d_head 80 -> n_sub 10) fault Mosaic tile DMAs unless the cache pads
+    the stored code width to a multiple of 8 (KVCache note). The padded
+    cache must be functionally invisible: engine completions match
+    generate() exactly at n_sub=10 (stored width 16)."""
+    import numpy as np
+
+    from spt_proto_tpu.config import ModelConfig
+    from spt_proto_tpu.inference.batching import ContinuousBatchingEngine
+    from spt_proto_tpu.inference.engine import (KVCache, code_width,
+                                                generate)
+    from spt_proto_tpu.inference.weights import InferenceWeights
+    from spt_proto_tpu.tuning import surgery
+    cfg = ModelConfig(arch='opt', d_model=160, n_heads=4, n_layers=2,
+                      max_length=128, vocab_size=128, d_feedforward=64,
+                      attention='sparse_v2', d_codeword=4, n_codewords=8,
+                      sparse_coeff=4, dtype=jnp.float32,
+                      param_dtype=jnp.float32)
+    cfg.validate()
+    assert cfg.n_subspaces == 10 and code_width(cfg) == 16
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    cache = KVCache.create(cfg, 2, 64, dtype=jnp.float32)
+    assert cache.codes.shape[3] == 16
+    rng = np.random.RandomState(3)
+    # bucket-aligned prompt lengths: engine and generate() then see the
+    # same padded length, so the per-row sparse selection matches exactly
+    prompts = [list(map(int, rng.randint(1, cfg.vocab_size, size=16)))
+               for _ in range(2)]
+    ref = generate(iw, jnp.asarray(prompts, jnp.int32), 5, max_len=64)
+    eng = ContinuousBatchingEngine(iw, n_slots=2, max_len=64,
+                                   prefill_bucket=16)
+    rids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+    done = {c.request_id: c.tokens for c in eng.run_until_done()}
+    for i, rid in enumerate(rids):
+        exp = list(np.asarray(ref)[i, 16:16 + 5])
+        assert done[rid] == exp, (done[rid], exp)
