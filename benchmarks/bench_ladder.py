@@ -49,14 +49,14 @@ def _mem_gb(compiled) -> float:
 
 
 def bench_decode(cfg, params, batch, prompt_len, max_len, steps,
-                 quantized_kv=False):
+                 quantized_kv=False, quant=None):
     """Steady-state decode tok/s + compiled memory, on-device loop."""
     import numpy as np
 
     from spt_proto_tpu.inference.engine import (KVCache, decode_step,
                                                 prefill)
     from spt_proto_tpu.inference.weights import InferenceWeights
-    iw = InferenceWeights.from_params(cfg, params)
+    iw = InferenceWeights.from_params(cfg, params, quant=quant)
     rng = np.random.RandomState(0)
     prompts = jnp.asarray(
         rng.randint(1, cfg.vocab_size, size=(batch, prompt_len)), jnp.int32)
@@ -131,11 +131,13 @@ def bench_train(cfg, params, batch, seq, iters=8):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--size', default='1.3b',
-                    choices=['125m', '350m', '1.3b', '2.7b'])
+                    choices=['125m', '350m', '1.3b', '2.7b', 'llama-7b'])
     ap.add_argument('--batch', type=int, default=8)
     ap.add_argument('--ctx', type=int, default=2048)
     ap.add_argument('--steps', type=int, default=32)
-    ap.add_argument('--modes', default='dense,sparse,sparse_int8')
+    ap.add_argument('--modes', default='dense,sparse,sparse_int8',
+                    help='also: sparse_w8 (int8 WEIGHTS + int8 KV — the '
+                         'only way LLaMA-7B fits one 16 GB chip)')
     ap.add_argument('--train', action='store_true',
                     help='also measure the LoRA/sparse train step')
     ap.add_argument('--train_batch', type=int, default=4)
@@ -144,7 +146,7 @@ def main():
                     help='override n_layers (quick kernel-shape probes)')
     args = ap.parse_args()
 
-    from spt_proto_tpu.config import opt_config
+    from spt_proto_tpu.config import llama_config, opt_config
     from spt_proto_tpu.tuning import surgery
 
     on_tpu = jax.devices()[0].platform == 'tpu'
@@ -156,7 +158,10 @@ def main():
               max_length=max(max_len, args.train_seq))
     if args.layers:
         kw['n_layers'] = args.layers
-    dcfg = opt_config(args.size, **kw)
+    if args.size.startswith('llama-'):
+        dcfg = llama_config(args.size[len('llama-'):], **kw)
+    else:
+        dcfg = opt_config(args.size, **kw)
     # park both param trees on HOST: at 1.3b+ two device-resident copies
     # (dense + sparse) plus the bf16 serving cast and the double-buffered
     # KV cache exceed 16 GB
@@ -172,13 +177,14 @@ def main():
            'n_layers': dcfg.n_layers, 'batch': args.batch, 'ctx': args.ctx}
     results = {}
     for mode in modes:
-        cfg_m, p_m, q = {
-            'dense': (dcfg, params, False),
-            'sparse': (scfg, sparams, False),
-            'sparse_int8': (scfg, sparams, True),
+        cfg_m, p_m, q, w8 = {
+            'dense': (dcfg, params, False, None),
+            'sparse': (scfg, sparams, False, None),
+            'sparse_int8': (scfg, sparams, True, None),
+            'sparse_w8': (scfg, sparams, True, 'int8'),
         }[mode]
         tps, mem = bench_decode(cfg_m, p_m, args.batch, args.ctx, max_len,
-                                args.steps, quantized_kv=q)
+                                args.steps, quantized_kv=q, quant=w8)
         results[mode] = tps
         print(json.dumps({**out, 'bench': f'decode_{mode}',
                           'tokens_per_sec': round(tps, 1),
