@@ -172,7 +172,7 @@ def main():
                                     jax.random.PRNGKey(1))
     sparams = jax.device_get(sparams)
 
-    modes = args.modes.split(',')
+    modes = [m for m in args.modes.split(',') if m]
     out = {'size': args.size, 'd_head': dcfg.d_model // dcfg.n_heads,
            'n_layers': dcfg.n_layers, 'batch': args.batch, 'ctx': args.ctx}
     results = {}
@@ -196,7 +196,14 @@ def main():
                           'speedup': round(best / results['dense'], 3)}),
               flush=True)
     if args.train:
-        tps, mem = bench_train(scfg, sparams, args.train_batch,
+        # the REFERENCE pipeline's trainable set: full 4-stage upgrade
+        # (LoRA + routed FFN + PQ), not just the serving mha stages
+        tcfg, tparams = surgery.full_upgrade(
+            dcfg, params, jax.random.PRNGKey(2), d_lora=16,
+            ffn_block_size=dcfg.d_feedforward // 4)
+        tcfg = tcfg.replace(remat=True)   # 24L x S=1024 activations
+                                          # don't fit 16 GB otherwise
+        tps, mem = bench_train(tcfg, tparams, args.train_batch,
                                args.train_seq)
         print(json.dumps({**out, 'bench': 'train_step_sparse_lora',
                           'batch': args.train_batch, 'seq': args.train_seq,
