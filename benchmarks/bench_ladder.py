@@ -115,13 +115,12 @@ def bench_train(cfg, params, batch, seq, iters=8):
         st, losses = jax.lax.scan(body, state, None, length=iters)
         return losses[-1]
 
-    compiled = jax.jit(loop, donate_argnums=(0,)).lower(
-        state, batch_d).compile()
+    # no donate: the loop returns only the loss scalar, so the state
+    # could never alias an output (donation would just warn)
+    compiled = jax.jit(loop).lower(state, batch_d).compile()
     mem = _mem_gb(compiled)
-    # NOTE: donation means `state` is consumed per call; re-init per run
     l0 = float(compiled(state, batch_d))
     assert l0 == l0, 'NaN loss'
-    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     t0 = time.perf_counter()
     float(compiled(state, batch_d))
     dt = (time.perf_counter() - t0) / iters
