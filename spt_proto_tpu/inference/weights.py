@@ -69,8 +69,26 @@ class InferenceWeights:
     @staticmethod
     def from_params(cfg: ModelConfig, params: Any,
                     quant: Optional[str] = None,
-                    dtype=None) -> 'InferenceWeights':
+                    dtype=None, staged: Optional[bool] = None
+                    ) -> 'InferenceWeights':
+        """Build serving weights from a (host or device) param tree.
+
+        staged=True streams the tree leaf-by-leaf through the device while
+        int8-quantizing: each big kernel is device_put, folded+quantized in
+        one jitted call with the fp input donated, so the full-precision
+        tree is never device-resident at once. This is what lets LLaMA-7B
+        (13.5 GB bf16) serve from one 16 GB chip as int8 (6.7 GB): the
+        unstaged path transiently needs fp + int8 (~20 GB) on device.
+        Default: staged when quantizing AND the tree is host-resident.
+        """
         dtype = dtype or cfg.dtype
+        if staged is None:
+            leaves = jax.tree.leaves(params)
+            staged = quant == 'int8' and bool(leaves) and not isinstance(
+                leaves[0], jax.Array)
+        if staged and quant == 'int8':
+            return InferenceWeights._from_params_staged_int8(
+                cfg, params, dtype)
         p = jax.tree.map(lambda x: jnp.asarray(x), params)
         out: dict = {}
         out['embedding'] = fold_lora_embed(p['embedding'])
@@ -140,3 +158,82 @@ class InferenceWeights:
                         out['blocks']['ffn'][name]['kernel'])
             out['lm_head']['kernel'] = quantize_int8(out['lm_head']['kernel'])
         return InferenceWeights(cfg=cfg, params=out, quant=quant)
+
+    @staticmethod
+    def _from_params_staged_int8(cfg: ModelConfig, params: Any,
+                                 dtype) -> 'InferenceWeights':
+        """Leaf-streamed int8 build (see from_params docstring).
+
+        Device peak = accumulated int8 tree + ONE fp kernel (donated into
+        its folded form) instead of the whole fp tree + int8.
+        """
+        def _cast(x):
+            x = jnp.asarray(x)
+            return x.astype(dtype) if jnp.issubdtype(
+                x.dtype, jnp.floating) else x
+
+        put_small = jax.jit(lambda t: jax.tree.map(_cast, t))
+
+        # One jitted fold+cast+quantize per kernel; the fp input dict is
+        # donated so XLA frees it the moment the folded product exists.
+        # (int8 outputs can never alias the fp inputs, so the donation is
+        # free-early-only — silence the aliasing warning it provokes)
+        def _fold_quant(leaf: dict) -> dict:
+            w = fold_lora(leaf)['kernel'].astype(dtype)
+            return quantize_int8(w)
+        _fq = jax.jit(_fold_quant, donate_argnums=0)
+
+        def fold_quant(leaf):
+            import warnings
+            with warnings.catch_warnings():
+                warnings.filterwarnings(
+                    'ignore', message='Some donated buffers were not usable')
+                return _fq(leaf)
+
+        def quant_dense(leaf: dict) -> dict:
+            kern_parts = {k: jnp.asarray(v) for k, v in leaf.items()
+                          if k in ('kernel', 'lora_left', 'lora_right')}
+            out = {'kernel': fold_quant(kern_parts)}
+            jax.block_until_ready(out['kernel'])   # bound transient peak
+            if 'bias' in leaf:
+                out['bias'] = put_small(leaf['bias'])
+            return out
+
+        out: dict = {}
+        out['embedding'] = put_small(fold_lora_embed(
+            jax.tree.map(jnp.asarray, params['embedding'])))
+        if cfg.arch == 'opt':
+            out['learned_pe'] = put_small(fold_lora_embed(
+                jax.tree.map(jnp.asarray, params['learned_pe'])))
+        blocks = params['blocks']
+        b_out: dict = {'mha': {}, 'ffn': {},
+                       'norm1': put_small(blocks['norm1']),
+                       'norm2': put_small(blocks['norm2'])}
+        for name in ('q', 'k', 'v', 'o'):
+            b_out['mha'][name] = quant_dense(blocks['mha'][name])
+        if 'quantizer' in blocks['mha']:
+            b_out['mha']['quantizer'] = put_small(
+                blocks['mha']['quantizer'])
+        ffn_names = ('gate', 'side', 'down') if cfg.ffn_gated \
+            else ('fc1', 'fc2')
+        routed = 'router' in blocks['ffn']
+        for name in ffn_names:
+            if routed:
+                # routed FFN consumes fp block views (+ separate LoRA when
+                # cfg.d_lora — the coeff-scaling contract, see from_params)
+                leaf = blocks['ffn'][name]
+                if cfg.d_lora:
+                    b_out['ffn'][name] = put_small(dict(leaf))
+                else:
+                    folded = put_small(jax.tree.map(jnp.asarray, leaf))
+                    b_out['ffn'][name] = jax.jit(fold_lora,
+                                                 donate_argnums=0)(folded)
+            else:
+                b_out['ffn'][name] = quant_dense(blocks['ffn'][name])
+        if routed:
+            b_out['ffn']['router'] = put_small(blocks['ffn']['router'])
+        out['blocks'] = b_out
+        out['final_norm'] = put_small(params['final_norm'])
+        out['lm_head'] = {'kernel': fold_quant(
+            {'kernel': jnp.asarray(params['lm_head']['kernel'])})}
+        return InferenceWeights(cfg=cfg, params=out, quant='int8')

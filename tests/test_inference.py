@@ -353,3 +353,27 @@ def test_straddling_subspace_count_padded_cache():
     for i, rid in enumerate(rids):
         exp = list(np.asarray(ref)[i, 16:16 + 5])
         assert done[rid] == exp, (done[rid], exp)
+
+
+def test_int8_staged_build_matches_unstaged():
+    """Leaf-streamed int8 weight build (the path that lets LLaMA-7B fit one
+    chip) produces the exact same tree structure and near-identical values
+    as the all-at-once build."""
+    cfg, params = setup_model('opt')
+    cfg, params = surgery.full_upgrade(cfg, params, jax.random.PRNGKey(3),
+                                       d_lora=4,
+                                       ffn_block_size=cfg.d_feedforward // 4)
+    host = jax.device_get(params)
+    a = InferenceWeights.from_params(cfg, params, quant='int8', staged=False)
+    b = InferenceWeights.from_params(cfg, host, quant='int8')  # auto-staged
+    ka = {jax.tree_util.keystr(k): v
+          for k, v in jax.tree_util.tree_leaves_with_path(a.params)}
+    kb = {jax.tree_util.keystr(k): v
+          for k, v in jax.tree_util.tree_leaves_with_path(b.params)}
+    assert set(ka) == set(kb)
+    for k in ka:
+        va, vb = np.asarray(ka[k]), np.asarray(kb[k])
+        assert va.shape == vb.shape and va.dtype == vb.dtype, k
+        np.testing.assert_allclose(va.astype(np.float32),
+                                   vb.astype(np.float32),
+                                   atol=2e-2, rtol=1e-2, err_msg=k)
