@@ -136,6 +136,9 @@ def main():
     add('train_spt_noquant', lambda: (lambda cp: time_step(
         cp[0].replace(remat=True), cp[1], batch, args.iters,
         train_quantizer=False))(sparse_cfg()))
+    add('train_spt_remat_dots', lambda: (lambda cp: time_step(
+        cp[0].replace(remat=True, remat_policy='dots'), cp[1], batch,
+        args.iters))(sparse_cfg()))
     add('train_spt_gmm_ffn', lambda: (lambda cp: time_step(
         cp[0].replace(remat=True, ffn_impl='gmm'), cp[1], batch,
         args.iters))(sparse_cfg()))

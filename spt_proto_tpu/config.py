@@ -74,6 +74,15 @@ class ModelConfig:
     # active ops.routed_ffn_ep.ep_mesh(...) context at trace time)
     ffn_impl: str = 'masked'
     remat: bool = False              # rematerialize blocks (training memory)
+    # remat policy: 'full' recomputes everything in the backward pass
+    # (minimum memory); 'dots' saves every matmul output (XLA's
+    # checkpoint_dots policy) — the backward then recomputes only cheap
+    # elementwise work, trading ~2x activation memory for skipping the
+    # recompute of the attention kernel / PQ encode / FFN matmuls. The
+    # reference's DeepSpeed config checkpoints whole blocks to CPU
+    # (script/4-sparse-tuning-1.py:174); on TPU recompute-vs-save is the
+    # equivalent lever.
+    remat_policy: str = 'full'       # 'full' | 'dots'
     # --- context (sequence) parallelism ------------------------------------
     # When True the model runs INSIDE a shard_map whose `cp_axis` shards the
     # sequence: dense attention becomes ring attention (ops/ring_attention),

@@ -58,8 +58,12 @@ class DecoderLM(nn.Module):
 
         block_cls = TransformerBlock
         if cfg.remat:
+            policy = None
+            if cfg.remat_policy == 'dots':
+                policy = jax.checkpoint_policies.checkpoint_dots
             block_cls = nn.remat(TransformerBlock,
                                  prevent_cse=False,
+                                 policy=policy,
                                  static_argnums=())
         blocks = nn.scan(
             block_cls,

@@ -58,6 +58,12 @@ def test_remat_matches_no_remat():
     g2 = jax.grad(lambda p: loss(cfg.replace(remat=True), p))(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # 'dots' policy (save matmul outputs, recompute elementwise only)
+    # must be gradient-identical too
+    g3 = jax.grad(lambda p: loss(
+        cfg.replace(remat=True, remat_policy='dots'), p))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 def test_wikitext_flow(tmp_path):
