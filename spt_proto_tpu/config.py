@@ -61,6 +61,18 @@ class ModelConfig:
     # grid kernel when the doubled staging exceeds VMEM or the cache is
     # int8-quantized (no ms twin for the quantized kernel yet).
     decode_multislot: bool = True
+    # unroll factor for the decode step's layer scan: >1 lets XLA
+    # software-pipeline across layer boundaries (prefetch layer i+1's
+    # weights during layer i's math) at the cost of code size / compile
+    # time. The 125M decode step is ~75% dispatch-bound (docs/PERF.md
+    # round-3 decomposition) — this attacks exactly that overhead.
+    decode_scan_unroll: int = 1
+    # fuse the decode tail (norm2 -> fc1 -> act -> fc2 -> residual) into
+    # one streaming Pallas kernel at skinny m (ops/pallas/ffn_tail.py):
+    # one dispatch replaces 4-5 and the fc1/fc2 weight tiles stream with
+    # guaranteed DMA/compute overlap. Dense-FFN serving only (routed and
+    # int8-weight paths keep their existing forms).
+    decode_fused_ffn: bool = True
     # routed FFN (ref adapter.py:163: block_size = d_ff//4 => 4 blocks)
     ffn_block_size: Optional[int] = None
     ffn_top_k: Optional[int] = None  # default: n_blocks//2

@@ -246,6 +246,38 @@ def _ffn(cfg: ModelConfig, p: dict, x: jax.Array) -> jax.Array:
     return y.reshape(*lead, cfg.d_model)
 
 
+def _ffn_residual(cfg: ModelConfig, p: dict, pn: dict,
+                  x: jax.Array) -> jax.Array:
+    """x + ffn(norm2(x)), fused into one streaming Pallas kernel at
+    skinny m (ops/pallas/ffn_tail.py) when eligible: dense FFN, fp
+    kernels, <=256 rows, lane-aligned dims. Decode is dispatch-bound
+    (docs/PERF.md round-3 decomposition) — this folds the 4-5-op tail
+    into one dispatch with guaranteed weight-DMA/compute overlap."""
+    xn = _norm(cfg, pn, x)
+    names = ('gate', 'side', 'down') if cfg.ffn_gated else ('fc1', 'fc2')
+    rows = 1
+    for s in x.shape[:-1]:
+        rows *= s
+    eligible = (
+        cfg.decode_fused_ffn and cfg.ffn != FFN_ROUTED and rows <= 256
+        and cfg.d_model % 128 == 0 and cfg.d_feedforward % 128 == 0
+        and all(not isinstance(p[n]['kernel'], dict) for n in names))
+    if not eligible:
+        return x + _ffn(cfg, p, xn)
+    from spt_proto_tpu.ops.pallas.ffn_tail import ffn_tail, ffn_tail_gated
+    lead = x.shape[:-1]
+    xf = x.reshape(-1, cfg.d_model)
+    xnf = xn.reshape(-1, cfg.d_model)
+    if cfg.ffn_gated:
+        y = ffn_tail_gated(xnf, xf, p['gate']['kernel'],
+                           p['side']['kernel'], p['down']['kernel'],
+                           act='silu')
+    else:
+        y = ffn_tail(xnf, xf, p['fc1']['kernel'], p['fc1']['bias'],
+                     p['fc2']['kernel'], p['fc2']['bias'], act='relu')
+    return y.reshape(*lead, cfg.d_model)
+
+
 def _encode_codes(cfg: ModelConfig, quantizer: dict, x: jax.Array
                   ) -> jax.Array:
     """x [..., D] -> PQ codes [..., n_sub]."""
@@ -786,13 +818,14 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
                 ps=TILE, tps=tps, scale=scale, clamp=clamp)
         o = o.reshape(b, 1, cfg.d_model)
         x = x + _dense(bp['mha']['o'], o)
-        x = x + _ffn(cfg, bp['ffn'], _norm(cfg, bp['norm2'], x))
+        x = _ffn_residual(cfg, bp['ffn'], bp['norm2'], x)
         return (x, kc, vc, cc, ksc, vsc), None
 
     (x, kc, vc, cc, ksc, vsc), _ = jax.lax.scan(
         layer, (x, cache.k, cache.v, cache.codes,
                 cache.k_scale, cache.v_scale),
-        (p['blocks'], jnp.arange(l)))
+        (p['blocks'], jnp.arange(l)),
+        unroll=min(cfg.decode_scan_unroll, l))
     cache = KVCache(k=kc, v=vc, codes=cc, length=cache.length + 1,
                     k_scale=ksc, v_scale=vsc)
     x = _norm(cfg, p['final_norm'], x)
@@ -990,7 +1023,7 @@ def verify_step(iw: InferenceWeights, tokens: jax.Array,
                                                       ).reshape(
                 b, kk, cfg.d_model)
             x = x + _dense(bp['mha']['o'], o)
-            x = x + _ffn(cfg, bp['ffn'], _norm(cfg, bp['norm2'], x))
+            x = _ffn_residual(cfg, bp['ffn'], bp['norm2'], x)
             return (x, kc, vc, cc, ksc, vsc), None
 
         # ---- jnp path: insert the K new columns into the layer slices
@@ -1056,7 +1089,7 @@ def verify_step(iw: InferenceWeights, tokens: jax.Array,
                        ).astype(cfg.dtype)
         o = o.transpose(0, 2, 1, 3).reshape(b, kk, cfg.d_model)
         x = x + _dense(bp['mha']['o'], o)
-        x = x + _ffn(cfg, bp['ffn'], _norm(cfg, bp['norm2'], x))
+        x = _ffn_residual(cfg, bp['ffn'], bp['norm2'], x)
 
         # ---- write the updated layer slices back
         kc = jax.lax.dynamic_update_slice(kc, k_l, (0, 0, lix * nt, 0, 0))
@@ -1074,7 +1107,8 @@ def verify_step(iw: InferenceWeights, tokens: jax.Array,
     (x, kc, vc, cc, ksc, vsc), _ = jax.lax.scan(
         layer, (x, cache.k, cache.v, cache.codes,
                 cache.k_scale, cache.v_scale),
-        (p['blocks'], jnp.arange(l)))
+        (p['blocks'], jnp.arange(l)),
+        unroll=min(cfg.decode_scan_unroll, l))
     cache = KVCache(k=kc, v=vc, codes=cc, length=pos0 + kk,
                     k_scale=ksc, v_scale=vsc)
     x = _norm(cfg, p['final_norm'], x)

@@ -1,0 +1,81 @@
+"""Fused skinny-m decode-tail FFN kernel (ops/pallas/ffn_tail.py):
+interpret-mode parity vs the jnp oracle, and end-to-end decode parity
+with the fused path on vs off."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spt_proto_tpu.config import tiny_config
+from spt_proto_tpu.ops.pallas.ffn_tail import (ffn_tail, ffn_tail_gated,
+                                               ffn_tail_gated_ref,
+                                               ffn_tail_ref)
+
+
+@pytest.mark.parametrize('m,d,f', [(8, 128, 256), (3, 256, 512),
+                                   (16, 128, 128)])
+def test_ffn_tail_matches_ref(m, d, f):
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x = jax.random.normal(ks[0], (m, d), jnp.float32)
+    res = jax.random.normal(ks[1], (m, d), jnp.float32)
+    w1 = jax.random.normal(ks[2], (d, f), jnp.float32) * 0.05
+    b1 = jax.random.normal(ks[3], (f,), jnp.float32)
+    w2 = jax.random.normal(ks[4], (f, d), jnp.float32) * 0.05
+    b2 = jax.random.normal(ks[5], (d,), jnp.float32)
+    got = ffn_tail(x, res, w1, b1, w2, b2, act='relu')
+    ref = ffn_tail_ref(x, res, w1, b1, w2, b2, act='relu')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ffn_tail_gated_matches_ref():
+    m, d, f = 5, 128, 384
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    x = jax.random.normal(ks[0], (m, d), jnp.float32)
+    res = jax.random.normal(ks[1], (m, d), jnp.float32)
+    wg = jax.random.normal(ks[2], (d, f), jnp.float32) * 0.05
+    ws = jax.random.normal(ks[3], (d, f), jnp.float32) * 0.05
+    wd = jax.random.normal(ks[4], (f, d), jnp.float32) * 0.05
+    got = ffn_tail_gated(x, res, wg, ws, wd, act='silu')
+    ref = ffn_tail_gated_ref(x, res, wg, ws, wd, act='silu')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('arch', ['opt', 'llama'])
+def test_generate_fused_ffn_matches_unfused(arch):
+    from spt_proto_tpu.inference.engine import generate
+    from spt_proto_tpu.inference.weights import InferenceWeights
+    from spt_proto_tpu.tuning import surgery
+    cfg = tiny_config(arch, d_model=128, n_heads=4, d_feedforward=256,
+                      vocab_size=256).replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    iw_f = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    iw_u = InferenceWeights.from_params(
+        cfg.replace(decode_fused_ffn=False), params, dtype=jnp.float32)
+    p = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
+                           cfg.vocab_size)
+    out_f = np.asarray(generate(iw_f, p, 6, max_len=16))
+    out_u = np.asarray(generate(iw_u, p, 6, max_len=16))
+    np.testing.assert_array_equal(out_f, out_u)
+
+
+def test_sparse_generate_fused_ffn_matches_unfused():
+    from spt_proto_tpu.inference.engine import generate
+    from spt_proto_tpu.inference.weights import InferenceWeights
+    from spt_proto_tpu.tuning import surgery
+    cfg = tiny_config('opt', d_model=128, n_heads=4, d_feedforward=256,
+                      vocab_size=256).replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    cfg, params = surgery.upgrade(cfg, params, 'mha_v1',
+                                  jax.random.PRNGKey(1))
+    cfg, params = surgery.upgrade(cfg, params, 'mha_v2',
+                                  jax.random.PRNGKey(2))
+    iw_f = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    iw_u = InferenceWeights.from_params(
+        cfg.replace(decode_fused_ffn=False), params, dtype=jnp.float32)
+    p = jax.random.randint(jax.random.PRNGKey(3), (2, 8), 0,
+                           cfg.vocab_size)
+    out_f = np.asarray(generate(iw_f, p, 6, max_len=16))
+    out_u = np.asarray(generate(iw_u, p, 6, max_len=16))
+    np.testing.assert_array_equal(out_f, out_u)
