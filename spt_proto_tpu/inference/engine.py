@@ -258,20 +258,38 @@ def _ffn_residual(cfg: ModelConfig, p: dict, pn: dict,
     rows = 1
     for s in x.shape[:-1]:
         rows *= s
+    quant = [isinstance(p[n]['kernel'], dict) for n in names]
     eligible = (
         cfg.decode_fused_ffn and cfg.ffn != FFN_ROUTED and rows <= 256
         and cfg.d_model % 128 == 0 and cfg.d_feedforward % 128 == 0
-        and all(not isinstance(p[n]['kernel'], dict) for n in names))
+        and (all(quant) or not any(quant)))
+    if eligible and all(quant):
+        # int8 fused variant streams true-d_ff tiles; needs a dividing
+        # tile width (e.g. LLaMA-7B's 11008 = 43 x 256)
+        from spt_proto_tpu.ops.pallas.ffn_tail import int8_tile
+        eligible = int8_tile(cfg.d_feedforward) >= 128
     if not eligible:
         return x + _ffn(cfg, p, xn)
-    from spt_proto_tpu.ops.pallas.ffn_tail import ffn_tail, ffn_tail_gated
+    from spt_proto_tpu.ops.pallas.ffn_tail import (ffn_tail,
+                                                   ffn_tail_gated,
+                                                   ffn_tail_gated_int8,
+                                                   ffn_tail_int8)
     lead = x.shape[:-1]
     xf = x.reshape(-1, cfg.d_model)
     xnf = xn.reshape(-1, cfg.d_model)
     if cfg.ffn_gated:
-        y = ffn_tail_gated(xnf, xf, p['gate']['kernel'],
-                           p['side']['kernel'], p['down']['kernel'],
-                           act='silu')
+        if all(quant):
+            y = ffn_tail_gated_int8(xnf, xf, p['gate']['kernel'],
+                                    p['side']['kernel'],
+                                    p['down']['kernel'], act='silu')
+        else:
+            y = ffn_tail_gated(xnf, xf, p['gate']['kernel'],
+                               p['side']['kernel'], p['down']['kernel'],
+                               act='silu')
+    elif all(quant):
+        y = ffn_tail_int8(xnf, xf, p['fc1']['kernel'], p['fc1']['bias'],
+                          p['fc2']['kernel'], p['fc2']['bias'],
+                          act='relu')
     else:
         y = ffn_tail(xnf, xf, p['fc1']['kernel'], p['fc1']['bias'],
                      p['fc2']['kernel'], p['fc2']['bias'], act='relu')

@@ -79,3 +79,72 @@ def test_sparse_generate_fused_ffn_matches_unfused():
     out_f = np.asarray(generate(iw_f, p, 6, max_len=16))
     out_u = np.asarray(generate(iw_u, p, 6, max_len=16))
     np.testing.assert_array_equal(out_f, out_u)
+
+
+def test_ffn_tail_int8_matches_dequant_ref():
+    from spt_proto_tpu.inference.weights import quantize_int8
+    from spt_proto_tpu.ops.pallas.ffn_tail import ffn_tail_int8
+    m, d, f = 8, 128, 256
+    ks = jax.random.split(jax.random.PRNGKey(2), 6)
+    x = jax.random.normal(ks[0], (m, d), jnp.float32)
+    res = jax.random.normal(ks[1], (m, d), jnp.float32)
+    w1 = jax.random.normal(ks[2], (d, f), jnp.float32) * 0.05
+    b1 = jax.random.normal(ks[3], (f,), jnp.float32) * 0.1
+    w2 = jax.random.normal(ks[4], (f, d), jnp.float32) * 0.05
+    b2 = jax.random.normal(ks[5], (d,), jnp.float32) * 0.1
+    q1, q2 = quantize_int8(w1), quantize_int8(w2)
+    got = ffn_tail_int8(x, res, q1, b1, q2, b2, act='relu')
+    deq = lambda q: q['q'][..., :q['scale'].shape[-1]].astype(
+        jnp.float32) * q['scale']
+    ref = ffn_tail_ref(x, res, deq(q1), b1, deq(q2), b2, act='relu')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ffn_tail_gated_int8_matches_dequant_ref():
+    from spt_proto_tpu.inference.weights import quantize_int8
+    from spt_proto_tpu.ops.pallas.ffn_tail import ffn_tail_gated_int8
+    m, d, f = 4, 128, 384
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    x = jax.random.normal(ks[0], (m, d), jnp.float32)
+    res = jax.random.normal(ks[1], (m, d), jnp.float32)
+    wg = jax.random.normal(ks[2], (d, f), jnp.float32) * 0.05
+    ws = jax.random.normal(ks[3], (d, f), jnp.float32) * 0.05
+    wd = jax.random.normal(ks[4], (f, d), jnp.float32) * 0.05
+    qg, qs, qd = quantize_int8(wg), quantize_int8(ws), quantize_int8(wd)
+    got = ffn_tail_gated_int8(x, res, qg, qs, qd, act='silu')
+    deq = lambda q: q['q'][..., :q['scale'].shape[-1]].astype(
+        jnp.float32) * q['scale']
+    ref = ffn_tail_gated_ref(x, res, deq(qg), deq(qs), deq(qd), act='silu')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize('arch', ['opt', 'llama'])
+def test_int8_decode_fused_close_to_unfused(arch):
+    """int8 serving: fused tail vs the int8_matmul path. Different
+    rounding orders (f32 in-kernel vs bf16 MXU dequant), so compare
+    decode logits with tolerance rather than greedy tokens."""
+    from spt_proto_tpu.inference.engine import KVCache, decode_step, prefill
+    from spt_proto_tpu.inference.weights import InferenceWeights
+    from spt_proto_tpu.tuning import surgery
+    cfg = tiny_config(arch, d_model=128, n_heads=4, d_feedforward=256,
+                      vocab_size=256).replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    iw_f = InferenceWeights.from_params(cfg, params, quant='int8',
+                                        staged=False, dtype=jnp.float32)
+    iw_u = InferenceWeights.from_params(
+        cfg.replace(decode_fused_ffn=False), params, quant='int8',
+        staged=False, dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
+                              cfg.vocab_size)
+    cache_f = KVCache.create(cfg, 2, 16, dtype=jnp.float32)
+    cache_u = KVCache.create(cfg, 2, 16, dtype=jnp.float32)
+    lf, cache_f = jax.jit(prefill)(iw_f, toks, cache_f)
+    lu, cache_u = jax.jit(prefill)(iw_u, toks, cache_u)
+    nxt = jnp.argmax(lu[:, -1], -1).astype(jnp.int32)
+    df, _ = decode_step(iw_f, nxt, cache_f)
+    du, _ = decode_step(iw_u, nxt, cache_u)
+    err = float(jnp.max(jnp.abs(df - du)))
+    rng = float(jnp.max(jnp.abs(du)))
+    assert err / rng < 0.02, (err, rng)
