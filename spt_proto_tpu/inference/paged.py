@@ -33,7 +33,8 @@ import numpy as np
 
 from spt_proto_tpu.config import ATTN_SPARSE_V2, ModelConfig
 from spt_proto_tpu.inference.engine import (NEG_INF, _apply_rope_1, _dense,
-                                            _encode_codes, _ffn, _norm,
+                                            _encode_codes, _ffn,
+                                            _ffn_residual, _norm,
                                             _qkv_proj)
 from spt_proto_tpu.inference.weights import InferenceWeights
 from spt_proto_tpu.models.decoder import PE_OFFSET
@@ -442,7 +443,7 @@ def paged_decode_step(iw: InferenceWeights, tokens: jax.Array,
                                    k_scales=k_scales, v_scales=v_scales)
         o = o.reshape(b, 1, cfg.d_model)
         x = x + _dense(bp['mha']['o'], o)
-        x = x + _ffn(cfg, bp['ffn'], _norm(cfg, bp['norm2'], x))
+        x = _ffn_residual(cfg, bp['ffn'], bp['norm2'], x)
         return (x, k_pages, v_pages, c_pages, k_scales, v_scales), ()
 
     (x, k_pages, v_pages, c_pages, k_scales, v_scales), _ = jax.lax.scan(
