@@ -73,6 +73,11 @@ class ModelConfig:
     # guaranteed DMA/compute overlap. Dense-FFN serving only (routed and
     # int8-weight paths keep their existing forms).
     decode_fused_ffn: bool = True
+    # fuse the decode FRONT (norm1 + QKV proj + PQ encode + tile
+    # selection) into one kernel (ops/pallas/decode_front.py) in the
+    # flagship OPT sparse serving envelope (MHA, per-head selection,
+    # l2 metric, code width <= 8, QKV weights + code slab fit VMEM)
+    decode_fused_front: bool = True
     # routed FFN (ref adapter.py:163: block_size = d_ff//4 => 4 blocks)
     ffn_block_size: Optional[int] = None
     ffn_top_k: Optional[int] = None  # default: n_blocks//2

@@ -725,10 +725,93 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
     n_sup_max = -(-nt // tps_d)
     if sparse:
         nsel = min(nt, max(1, nt // cfg.sparse_coeff) + 1)
+    # fused front kernel (norm1 + QKV + PQ encode + tile selection in one
+    # dispatch, ops/pallas/decode_front.py) — flagship OPT sparse serving
+    # envelope only; the decode step is dispatch-bound (docs/PERF.md)
+    use_front = False
+    if sparse and cfg.decode_fused_front and cfg.arch == 'opt' \
+            and g == 1 and cfg.sparse_select_heads == 1 \
+            and cfg.pq_metric == 'l2' \
+            and cache.codes.shape[3] == cfg.n_subspaces <= 8 \
+            and cfg.d_model % 128 == 0 \
+            and 'qkv' in p['blocks']['mha'] \
+            and 'quantizer_bd' in p['blocks']['mha']:
+        from spt_proto_tpu.ops.pallas.decode_front import (decode_front,
+                                                           front_vmem_mb)
+        use_front = front_vmem_mb(
+            b, kv, nt, cfg.n_subspaces, TILE, cfg.d_model,
+            jnp.dtype(cfg.dtype).itemsize) < 11.0
+
+    def _attend(carry, bp, lix, q4, k_new, v_new, c_new, tables,
+                n_tiles, tps, clamp):
+        """Shared decode tail: fused attention kernel dispatch + o-proj +
+        FFN residual. `tables` are PHYSICAL tile ids (-1 = unused)."""
+        x, kc, vc, cc, ksc, vsc = carry
+        base = jnp.full((b,), lix * nt, jnp.int32)
+        if quantized:
+            k8, ks_new = _quantize_kv(k_new)          # [B,KV,D] + [B,KV]
+            v8, vs_new = _quantize_kv(v_new)
+            # the quantized kernel takes per-head tables (grouped DMAs
+            # not ported to it yet)
+            if tables.shape[1] != kv:
+                tables = jnp.repeat(tables, kv // tables.shape[1], axis=1)
+            kv_pad = ksc.shape[2]
+            stage_mb = 2 * (kv * tables.shape[2] * tps * TILE * 2
+                            * cfg.d_head
+                            + kv_pad * nt * TILE * 2 * 4) / 2**20
+            # unroll cap: the ms kernel unrolls b*kv*t_max DMA pairs —
+            # past ~768 the Mosaic compile time outgrows the win; at 768
+            # (e.g. 8 slots x 32 kv heads x 3 tiles) the unrolled scalar
+            # code also overflows the 1 MB SMEM - cap at 512
+            unroll = b * kv * tables.shape[2]
+            fn = decode_attention_rows_q_ms \
+                if cfg.decode_multislot and ms_envelope \
+                and stage_mb < 11 and unroll <= 512 \
+                else decode_attention_rows_q
+            o, kc, vc, cc, ksc, vsc = fn(
+                q4, kc, vc, cc, ksc, vsc, tables.astype(jnp.int32),
+                n_tiles, pos, k8, v8, c_new.astype(jnp.int32),
+                ks_new, vs_new, base,
+                ps=TILE, tps=tps, scale=scale, clamp=clamp, nt_layer=nt)
+        else:
+            # multi-slot kernel when the doubled staging fits VMEM
+            # (cfg.decode_multislot; amortizes the per-slot kernel-entry
+            # floor — docs/PERF.md round 2)
+            stage_mb = (2 * 2 * kv * tables.shape[2] * tps * TILE
+                        * cfg.d_head * kc.dtype.itemsize) / 2**20
+            # unroll cap: see the quantized branch
+            unroll = b * kv * tables.shape[2]
+            fn = decode_attention_rows_ms \
+                if cfg.decode_multislot and ms_envelope \
+                and stage_mb < 11 and unroll <= 512 \
+                else decode_attention_rows
+            o, kc, vc, cc = fn(
+                q4, kc, vc, cc, tables.astype(jnp.int32), n_tiles, pos,
+                k_new, v_new, c_new.astype(jnp.int32), base,
+                ps=TILE, tps=tps, scale=scale, clamp=clamp)
+        o = o.reshape(b, 1, cfg.d_model)
+        x = x + _dense(bp['mha']['o'], o)
+        x = _ffn_residual(cfg, bp['ffn'], bp['norm2'], x)
+        return (x, kc, vc, cc, ksc, vsc), None
 
     def layer(carry, inp):
         x, kc, vc, cc, ksc, vsc = carry
         bp, lix = inp
+        if use_front:
+            from spt_proto_tpu.ops.pallas.decode_front import decode_front
+            qf, kf, vf, c_new, tables = decode_front(
+                x[:, 0], bp['norm1']['scale'], bp['norm1']['bias'],
+                bp['mha']['qkv']['kernel'], bp['mha']['qkv']['bias'],
+                bp['mha']['quantizer_bd'], bp['mha']['quantizer_cbn'],
+                cc, pos, jnp.full((1,), lix * nt, jnp.int32),
+                nt=nt, nsel=nsel, ps=TILE)
+            q4 = qf.reshape(b, kv, g, cfg.d_head)
+            k_new = kf.reshape(b, kv, cfg.d_head)
+            v_new = vf.reshape(b, kv, cfg.d_head)
+            n_tiles = jnp.full((b,), nsel, jnp.int32)
+            return _attend(carry, bp, lix, q4, k_new, v_new, c_new,
+                           tables, n_tiles, tps=1,
+                           clamp=cfg.score_clamp)
         hn = _norm(cfg, bp['norm1'], x)
         q, k, v = _qkv_proj(bp['mha'], hn)
         q4 = q.reshape(b, kv, g, cfg.d_head)              # [B, KV, G, D]
@@ -740,7 +823,6 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
                                ).reshape(b, kv, g, cfg.d_head)
             k_new = _apply_rope_1(k_new[:, :, None], pos[:, None],
                                   cfg.rope_base)[:, :, 0]
-        base = jnp.full((b,), lix * nt, jnp.int32)
         if sparse:
             codes_q = _encode_codes(cfg, bp['mha']['quantizer'],
                                     q4.reshape(b, kv * g, cfg.d_head))
@@ -793,51 +875,8 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
             tps = tps_d
             clamp = 0.0
         tables = jnp.where(tables < 0, -1, tables + lix * nt)
-        if quantized:
-            k8, ks_new = _quantize_kv(k_new)          # [B,KV,D] + [B,KV]
-            v8, vs_new = _quantize_kv(v_new)
-            # the quantized kernel takes per-head tables (grouped DMAs
-            # not ported to it yet)
-            if tables.shape[1] != kv:
-                tables = jnp.repeat(tables, kv // tables.shape[1], axis=1)
-            kv_pad = ksc.shape[2]
-            stage_mb = 2 * (kv * tables.shape[2] * tps * TILE * 2
-                            * cfg.d_head
-                            + kv_pad * nt * TILE * 2 * 4) / 2**20
-            # unroll cap: the ms kernel unrolls b*kv*t_max DMA pairs —
-            # past ~768 the Mosaic compile time outgrows the win; at 768
-            # (e.g. 8 slots x 32 kv heads x 3 tiles) the unrolled scalar
-            # code also overflows the 1 MB SMEM - cap at 512
-            unroll = b * kv * tables.shape[2]
-            fn = decode_attention_rows_q_ms \
-                if cfg.decode_multislot and ms_envelope \
-                and stage_mb < 11 and unroll <= 512 \
-                else decode_attention_rows_q
-            o, kc, vc, cc, ksc, vsc = fn(
-                q4, kc, vc, cc, ksc, vsc, tables.astype(jnp.int32),
-                n_tiles, pos, k8, v8, c_new.astype(jnp.int32),
-                ks_new, vs_new, base,
-                ps=TILE, tps=tps, scale=scale, clamp=clamp, nt_layer=nt)
-        else:
-            # multi-slot kernel when the doubled staging fits VMEM
-            # (cfg.decode_multislot; amortizes the per-slot kernel-entry
-            # floor — docs/PERF.md round 2)
-            stage_mb = (2 * 2 * kv * tables.shape[2] * tps * TILE
-                        * cfg.d_head * kc.dtype.itemsize) / 2**20
-            # unroll cap: see the quantized branch
-            unroll = b * kv * tables.shape[2]
-            fn = decode_attention_rows_ms \
-                if cfg.decode_multislot and ms_envelope \
-                and stage_mb < 11 and unroll <= 512 \
-                else decode_attention_rows
-            o, kc, vc, cc = fn(
-                q4, kc, vc, cc, tables.astype(jnp.int32), n_tiles, pos,
-                k_new, v_new, c_new.astype(jnp.int32), base,
-                ps=TILE, tps=tps, scale=scale, clamp=clamp)
-        o = o.reshape(b, 1, cfg.d_model)
-        x = x + _dense(bp['mha']['o'], o)
-        x = _ffn_residual(cfg, bp['ffn'], bp['norm2'], x)
-        return (x, kc, vc, cc, ksc, vsc), None
+        return _attend((x, kc, vc, cc, ksc, vsc), bp, lix, q4, k_new,
+                       v_new, c_new, tables, n_tiles, tps, clamp)
 
     (x, kc, vc, cc, ksc, vsc), _ = jax.lax.scan(
         layer, (x, cache.k, cache.v, cache.codes,

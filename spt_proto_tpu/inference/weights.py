@@ -58,6 +58,22 @@ def quantize_int8(w: jax.Array, pad_to: int = 256) -> dict:
     return {'q': q, 'scale': scale.astype(jnp.float32)}
 
 
+def _attach_pq_bd(out: dict) -> None:
+    """Derive the fused decode-front kernel's block-diagonal PQ matrices
+    from the (already dtype-cast) codebook: quantizer_bd [L, d_head,
+    n_sub*n_code] f32 + quantizer_cbn [L, 1, n_sub*n_code] f32 (see
+    ops/pallas/decode_front.py::build_pq_bd). Built from the CAST
+    codebook so in-kernel encode matches the XLA path bit-for-bit."""
+    mha = out.get('blocks', {}).get('mha', {})
+    if 'quantizer' not in mha:
+        return
+    from spt_proto_tpu.ops.pallas.decode_front import build_pq_bd
+    cb = mha['quantizer']['codebook']      # [L, n_sub, n_code, d_code]
+    bd, cbn = jax.vmap(build_pq_bd)(cb)
+    mha['quantizer_bd'] = bd
+    mha['quantizer_cbn'] = cbn
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class InferenceWeights:
@@ -144,6 +160,7 @@ class InferenceWeights:
             return path_leaf.astype(dtype) if jnp.issubdtype(
                 path_leaf.dtype, jnp.floating) else path_leaf
         out = jax.tree.map(cast, out)
+        _attach_pq_bd(out)
 
         if quant == 'int8':
             # quantize the big per-layer GEMMs (weight-only); biases, norms,
@@ -236,4 +253,5 @@ class InferenceWeights:
         out['final_norm'] = put_small(params['final_norm'])
         out['lm_head'] = {'kernel': fold_quant(
             {'kernel': jnp.asarray(params['lm_head']['kernel'])})}
+        _attach_pq_bd(out)
         return InferenceWeights(cfg=cfg, params=out, quant='int8')

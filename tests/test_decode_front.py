@@ -1,0 +1,129 @@
+"""Fused decode-front kernel (ops/pallas/decode_front.py): component
+parity vs the engine's jnp path and end-to-end token parity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spt_proto_tpu.config import tiny_config
+from spt_proto_tpu.inference.engine import KVCache, generate, prefill
+from spt_proto_tpu.inference.weights import InferenceWeights
+from spt_proto_tpu.tuning import surgery
+
+
+def sparse_model(d_model=128, n_heads=2, seed=0):
+    """Tiny OPT sparse_v2 model inside the fused-front envelope:
+    MHA, l2 metric, n_subspaces = d_head/8 <= 8."""
+    cfg = tiny_config('opt', d_model=d_model, n_heads=n_heads,
+                      d_feedforward=256, vocab_size=256,
+                      max_length=512).replace(dtype=jnp.float32,
+                                              pq_metric='l2')
+    params = surgery.init_params(cfg, jax.random.PRNGKey(seed))
+    cfg, params = surgery.upgrade(cfg, params, 'mha_v1',
+                                  jax.random.PRNGKey(seed + 1))
+    cfg, params = surgery.upgrade(cfg, params, 'mha_v2',
+                                  jax.random.PRNGKey(seed + 2))
+    return cfg, params
+
+
+def test_build_pq_bd_matches_encode():
+    from spt_proto_tpu.ops.pallas.decode_front import build_pq_bd
+    from spt_proto_tpu.ops.pq import pq_encode
+    cb = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 8))
+    bd, cbn = build_pq_bd(cb)
+    z = jax.random.normal(jax.random.PRNGKey(1), (6, 32))
+    # kernel form: argmin of cbn - 2 * (z_head @ bd) per 16-lane group
+    dots = z @ bd                                  # [6, 64]
+    scores = (cbn - 2.0 * dots).reshape(6, 4, 16)
+    got = jnp.argmin(scores, axis=-1)
+    want = pq_encode(z, cb, 'l2')
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_front_kernel_matches_jnp_path():
+    """Drive decode_front directly and compare every output against the
+    engine's unfused computation."""
+    from spt_proto_tpu.inference.engine import TILE, _norm, _qkv_proj
+    from spt_proto_tpu.ops.lookup import pq_topk_indices  # noqa: F401
+    from spt_proto_tpu.ops.pallas.decode_front import decode_front
+    from spt_proto_tpu.ops.pq import pq_encode
+    cfg, params = sparse_model()
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    p = iw.params
+    b, prompt = 3, 300                       # cur tile = 2, partial 3rd
+    toks = jax.random.randint(jax.random.PRNGKey(3), (b, prompt), 0,
+                              cfg.vocab_size)
+    cache = KVCache.create(cfg, b, 512, dtype=jnp.float32)
+    _, cache = jax.jit(prefill)(iw, toks, cache)
+    nt = cache.tiles_per_layer(cfg.n_layers)
+    nsel = min(nt, max(1, nt // cfg.sparse_coeff) + 1)
+    pos = cache.length
+    x = jax.random.normal(jax.random.PRNGKey(4), (b, cfg.d_model),
+                          jnp.float32)
+    lix = 1                                   # second layer's slab
+    bp = jax.tree.map(lambda a: a[lix], p['blocks'])
+
+    qf, kf, vf, c_new, tables = decode_front(
+        x, bp['norm1']['scale'], bp['norm1']['bias'],
+        bp['mha']['qkv']['kernel'], bp['mha']['qkv']['bias'],
+        bp['mha']['quantizer_bd'], bp['mha']['quantizer_cbn'],
+        cache.codes, pos, jnp.full((1,), lix * nt, jnp.int32),
+        nt=nt, nsel=nsel, ps=TILE)
+
+    # ---- jnp reference (decode_step's unfused path)
+    kv = cfg.kv_heads
+    hn = _norm(cfg, bp['norm1'], x[:, None])
+    q, k, v = _qkv_proj(bp['mha'], hn)
+    np.testing.assert_allclose(np.asarray(qf), np.asarray(q[:, 0]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(kf), np.asarray(k[:, 0]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(v[:, 0]),
+                               rtol=2e-5, atol=2e-5)
+    cb = bp['mha']['quantizer']['codebook']
+    codes_q = pq_encode(q[:, 0].reshape(b, kv, cfg.d_head), cb, 'l2')
+    codes_k = pq_encode(k[:, 0].reshape(b, kv, cfg.d_head), cb, 'l2')
+    np.testing.assert_array_equal(np.asarray(c_new), np.asarray(codes_k))
+
+    cur = pos // TILE
+    c_l = jax.lax.dynamic_slice(
+        cache.codes, (0, 0, lix * nt, 0, 0),
+        (b, kv, nt, cfg.n_subspaces, TILE))
+    match = jnp.sum(
+        (c_l == codes_q[:, :, None, :, None]).astype(jnp.float32),
+        axis=3)
+    tscore = match.mean(axis=-1)
+    full_t = jnp.arange(nt)[None, :] < cur[:, None]
+    tscore = jnp.where(full_t[:, None, :], tscore, -jnp.inf)
+    svals, sidx = jax.lax.top_k(tscore, nsel - 1)
+    rel = jnp.where(svals > -jnp.inf, sidx, -1)
+    want = jnp.concatenate(
+        [rel, jnp.broadcast_to(cur[:, None, None], (b, kv, 1))], axis=-1)
+    want = jnp.where(want < 0, -1, want + lix * nt)
+    np.testing.assert_array_equal(np.asarray(tables), np.asarray(want))
+
+
+def test_generate_fused_front_matches_unfused():
+    cfg, params = sparse_model()
+    iw_f = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    iw_u = InferenceWeights.from_params(
+        cfg.replace(decode_fused_front=False), params, dtype=jnp.float32)
+    p = jax.random.randint(jax.random.PRNGKey(5), (2, 200), 0,
+                           cfg.vocab_size)
+    out_f = np.asarray(generate(iw_f, p, 8, max_len=256))
+    out_u = np.asarray(generate(iw_u, p, 8, max_len=256))
+    np.testing.assert_array_equal(out_f, out_u)
+
+
+def test_generate_fused_front_int8_kv_matches_unfused():
+    cfg, params = sparse_model()
+    iw_f = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    iw_u = InferenceWeights.from_params(
+        cfg.replace(decode_fused_front=False), params, dtype=jnp.float32)
+    p = jax.random.randint(jax.random.PRNGKey(6), (2, 200), 0,
+                           cfg.vocab_size)
+    out_f = np.asarray(generate(iw_f, p, 8, max_len=256,
+                                quantized_kv=True))
+    out_u = np.asarray(generate(iw_u, p, 8, max_len=256,
+                                quantized_kv=True))
+    np.testing.assert_array_equal(out_f, out_u)
