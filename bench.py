@@ -94,12 +94,14 @@ def _decode_loop(iw, logits, cache, batch, steps):
     # and XLA keeps a second cache-sized temp buffer (~612 MB at the
     # bench config) — harmless on a 16 GB chip, and donating here
     # triggered TPU backend errors on the sparse path, so keep it simple
+    from spt_proto_tpu.inference.engine import decode_step_greedy
+
     @jax.jit
     def k_steps(iw, tok, cache):
         def body(carry, _):
             tok, cache = carry
-            lg, cache = decode_step(iw, tok, cache)
-            return (jnp.argmax(lg, -1).astype(jnp.int32), cache), ()
+            tok, cache = decode_step_greedy(iw, tok, cache)
+            return (tok, cache), ()
         (tok, cache), _ = jax.lax.scan(body, (tok, cache), None,
                                        length=steps)
         return tok, cache

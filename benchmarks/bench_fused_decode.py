@@ -24,7 +24,8 @@ import numpy as np
 
 
 def measure(cfg, params, batch, prompt_len, max_len, steps, quantized):
-    from spt_proto_tpu.inference.engine import (KVCache, decode_step,
+    from spt_proto_tpu.inference.engine import (KVCache,
+                                                decode_step_greedy,
                                                 prefill)
     from spt_proto_tpu.inference.weights import InferenceWeights
     iw = InferenceWeights.from_params(cfg, params)
@@ -40,8 +41,8 @@ def measure(cfg, params, batch, prompt_len, max_len, steps, quantized):
     def k_steps(iw, tok, cache):
         def body(carry, _):
             tok, cache = carry
-            lg, cache = decode_step(iw, tok, cache)
-            return (jnp.argmax(lg, -1).astype(jnp.int32), cache), ()
+            tok, cache = decode_step_greedy(iw, tok, cache)
+            return (tok, cache), ()
         (tok, cache), _ = jax.lax.scan(body, (tok, cache), None,
                                        length=steps)
         return tok, cache

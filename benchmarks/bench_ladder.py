@@ -54,6 +54,7 @@ def bench_decode(cfg, params, batch, prompt_len, max_len, steps,
     import numpy as np
 
     from spt_proto_tpu.inference.engine import (KVCache, decode_step,
+                                                decode_step_greedy,
                                                 prefill)
     from spt_proto_tpu.inference.weights import InferenceWeights
     iw = InferenceWeights.from_params(cfg, params, quant=quant)
@@ -71,8 +72,8 @@ def bench_decode(cfg, params, batch, prompt_len, max_len, steps,
     def k_steps_fn(iw, tok, cache):
         def body(carry, _):
             tok, cache = carry
-            lg, cache = decode_step(iw, tok, cache)
-            return (jnp.argmax(lg, -1).astype(jnp.int32), cache), ()
+            tok, cache = decode_step_greedy(iw, tok, cache)
+            return (tok, cache), ()
         (tok, cache), _ = jax.lax.scan(body, (tok, cache), None,
                                        length=steps)
         return tok, cache

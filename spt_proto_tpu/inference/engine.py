@@ -673,6 +673,13 @@ def prefill_chunk_compute(iw: InferenceWeights, tokens: jax.Array,
 
 def decode_step(iw: InferenceWeights, tokens: jax.Array,
                 cache: KVCache) -> Tuple[jax.Array, KVCache]:
+    """One token per active slot -> (logits [B, V], new cache)."""
+    x, cache = _decode_hidden(iw, tokens, cache)
+    return _dense(iw.params['lm_head'], x), cache
+
+
+def _decode_hidden(iw: InferenceWeights, tokens: jax.Array,
+                   cache: KVCache) -> Tuple[jax.Array, KVCache]:
     """One token per active slot. tokens [B] int32; positions come from
     cache.length (per-slot). Returns (logits [B, V], new cache).
 
@@ -886,8 +893,28 @@ def decode_step(iw: InferenceWeights, tokens: jax.Array,
     cache = KVCache(k=kc, v=vc, codes=cc, length=cache.length + 1,
                     k_scale=ksc, v_scale=vsc)
     x = _norm(cfg, p['final_norm'], x)
-    logits = _dense(p['lm_head'], x[:, 0])
-    return logits, cache
+    return x[:, 0], cache
+
+
+def decode_step_greedy(iw: InferenceWeights, tokens: jax.Array,
+                       cache: KVCache) -> Tuple[jax.Array, KVCache]:
+    """decode_step specialized for greedy sampling: the lm_head matmul
+    and the argmax fuse into one streaming kernel (ops/pallas/lm_head.py)
+    so the [B, V] logits are never materialized and two dispatches leave
+    the step's fixed cost. Returns (next_token [B] int32, cache).
+
+    Token-identical to argmax(decode_step(...)[0]): the kernel rounds
+    logits to the serving dtype before comparing and breaks ties toward
+    the lowest index, like jnp.argmax. Falls back to the unfused form
+    when the lm_head is int8-quantized."""
+    cfg = iw.cfg
+    kern = iw.params['lm_head']['kernel']
+    if isinstance(kern, dict) or not cfg.decode_fused_ffn:
+        logits, cache = decode_step(iw, tokens, cache)
+        return jnp.argmax(logits, -1).astype(jnp.int32), cache
+    from spt_proto_tpu.ops.pallas.lm_head import lm_head_argmax
+    x, cache = _decode_hidden(iw, tokens, cache)
+    return lm_head_argmax(x, kern), cache
 
 
 # ---------------------------------------------------------------------------
@@ -1291,7 +1318,11 @@ def generate(iw: InferenceWeights, prompts: jax.Array, max_new_tokens: int,
         iw = shard_inference_weights(mesh, iw)
         cache = shard_cache(mesh, cache)
     prefill_fn = jax.jit(prefill, donate_argnums=(2,))
-    step_fn = jax.jit(decode_step, donate_argnums=(2,))
+    # greedy + no eos scan: fuse the lm_head matmul with the argmax
+    # (decode_step_greedy) — the logits are never materialized
+    greedy = temperature == 0.0 and eos_id is None
+    step_fn = jax.jit(decode_step_greedy if greedy else decode_step,
+                      donate_argnums=(2,))
     logits, cache = prefill_fn(iw, prompts, cache)
     if lengths is not None:
         lengths = jnp.asarray(lengths, jnp.int32)
@@ -1325,8 +1356,12 @@ def generate(iw: InferenceWeights, prompts: jax.Array, max_new_tokens: int,
                     shard_cache
                 cache = shard_cache(mesh, cache)
         rng, sub = jax.random.split(rng)
-        logits, cache = step_fn(iw, tok, cache)
-        max_pos += 1
-        tok = sample(logits, sub, temperature=temperature,
-                     top_k=top_k, top_p=top_p)
+        if greedy:
+            tok, cache = step_fn(iw, tok, cache)
+            max_pos += 1
+        else:
+            logits, cache = step_fn(iw, tok, cache)
+            max_pos += 1
+            tok = sample(logits, sub, temperature=temperature,
+                         top_k=top_k, top_p=top_p)
     return jnp.concatenate(out, axis=1)

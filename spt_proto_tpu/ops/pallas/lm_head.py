@@ -1,0 +1,79 @@
+"""Fused lm_head + greedy argmax streaming kernel.
+
+The greedy decode loop computes logits = final_norm(x) @ W_head
+([D, V], 77 MB at OPT-125M, 206 MB at 1.3B) and then argmax — two more
+dispatches and a [B, V] logits round-trip in the step's FIXED cost
+(~0.53 ms at 125M, docs/PERF.md round-3 decomposition). This kernel
+streams W in V-tiles with automatic double-buffered pipelining and keeps
+a running (max, argmax) per row, so greedy token selection is ONE
+dispatch and the full logits are never materialized.
+
+Exactness: logits are rounded to the serving dtype before the compare,
+so the winning index equals jnp.argmax over the unfused bf16 logits,
+including its lowest-index tie-breaking (running compare is strict >).
+Lanes past the true vocab (the ragged last tile) are masked to -inf.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _kernel(x_ref, w_ref, o_ref, bval, *, v: int, ft: int, n_tiles: int,
+            out_dtype):
+    t = pl.program_id(0)
+    x = x_ref[...].astype(jnp.float32)
+    lg = jax.lax.dot_general(
+        x, w_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # round to the serving dtype so the winner matches the unfused
+    # argmax-over-logits path bit-for-bit
+    lg = lg.astype(out_dtype).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, lg.shape, 1)
+    gidx = lane + t * ft
+    lg = jnp.where(gidx < v, lg, NEG)
+    loc_val = jnp.max(lg, axis=-1, keepdims=True)         # [B, 1]
+    loc_arg = jnp.argmax(lg, axis=-1).astype(jnp.int32)[:, None] + t * ft
+
+    @pl.when(t == 0)
+    def _seed():
+        bval[...] = jnp.full_like(bval, NEG)
+        o_ref[...] = jnp.zeros_like(o_ref)
+    take = loc_val > bval[...]                            # strict: keeps
+    bval[...] = jnp.where(take, loc_val, bval[...])       # earliest tile
+    o_ref[...] = jnp.where(take, loc_arg, o_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def lm_head_argmax(x: jax.Array, w: jax.Array, *,
+                   interpret: Optional[bool] = None) -> jax.Array:
+    """x [B, D] @ w [D, V] -> greedy token ids [B] int32, streaming W."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    b, d = x.shape
+    v = w.shape[1]
+    m_pad = max(8, -(-b // 8) * 8)
+    ft = 2048 if v >= 2048 else 512
+    n_tiles = -(-v // ft)
+    xp = x if b == m_pad else jnp.pad(x, ((0, m_pad - b), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_kernel, v=v, ft=ft, n_tiles=n_tiles,
+                          out_dtype=x.dtype),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((m_pad, d), lambda t: (0, 0)),
+            pl.BlockSpec((d, ft), lambda t: (0, t)),
+        ],
+        out_specs=pl.BlockSpec((m_pad, 1), lambda t: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((m_pad, 1), jnp.float32)],
+        interpret=interpret,
+    )(xp, w)
+    return out[:b, 0]

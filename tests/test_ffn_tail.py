@@ -148,3 +148,40 @@ def test_int8_decode_fused_close_to_unfused(arch):
     err = float(jnp.max(jnp.abs(df - du)))
     rng = float(jnp.max(jnp.abs(du)))
     assert err / rng < 0.02, (err, rng)
+
+
+def test_lm_head_argmax_matches_jnp():
+    from spt_proto_tpu.ops.pallas.lm_head import lm_head_argmax
+    for b, d, v in ((8, 128, 300), (3, 256, 2500), (8, 128, 4096)):
+        x = jax.random.normal(jax.random.PRNGKey(b + v), (b, d),
+                              jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(v), (d, v), jnp.float32)
+        got = lm_head_argmax(x, w)
+        want = jnp.argmax(x @ w, axis=-1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize('arch', ['opt', 'llama'])
+def test_decode_step_greedy_matches_argmax(arch):
+    from spt_proto_tpu.inference.engine import (KVCache, decode_step,
+                                                decode_step_greedy,
+                                                prefill)
+    from spt_proto_tpu.inference.weights import InferenceWeights
+    from spt_proto_tpu.tuning import surgery
+    cfg = tiny_config(arch, d_model=128, n_heads=4, d_feedforward=256,
+                      vocab_size=300).replace(dtype=jnp.float32)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
+                              cfg.vocab_size)
+    cache_a = KVCache.create(cfg, 2, 16, dtype=jnp.float32)
+    cache_b = KVCache.create(cfg, 2, 16, dtype=jnp.float32)
+    la, cache_a = jax.jit(prefill)(iw, toks, cache_a)
+    _, cache_b = jax.jit(prefill)(iw, toks, cache_b)
+    nxt = jnp.argmax(la[:, -1], -1).astype(jnp.int32)
+    for _ in range(3):
+        lg, cache_a = decode_step(iw, nxt, cache_a)
+        want = jnp.argmax(lg, -1).astype(jnp.int32)
+        got, cache_b = decode_step_greedy(iw, nxt, cache_b)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        nxt = want
