@@ -93,10 +93,16 @@ def _decode_and_sample(iw, tokens, cache, active, rng, *, temperature):
     per-lane length needs masking: an inactive lane's garbage column write
     lands at its held-back position and is overwritten before it can ever
     become attention-visible."""
-    logits, new = decode_step(iw, tokens, cache)
+    if temperature == 0.0:
+        # greedy: lm_head matmul + argmax fuse into one streaming kernel
+        # (engine.decode_step_greedy; token-identical to argmax(logits))
+        from spt_proto_tpu.inference.engine import decode_step_greedy
+        tok, new = decode_step_greedy(iw, tokens, cache)
+    else:
+        logits, new = decode_step(iw, tokens, cache)
+        tok = sample(logits, rng, temperature=temperature)
     new = dataclasses.replace(
         new, length=jnp.where(active, new.length, new.length - 1))
-    tok = sample(logits, rng, temperature=temperature)
     return tok, new
 
 

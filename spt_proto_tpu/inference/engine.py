@@ -627,7 +627,7 @@ def prefill_chunk_compute(iw: InferenceWeights, tokens: jax.Array,
         o = jnp.einsum('bhij,bhjd->bhid', probs, v_full)
         o = o.transpose(0, 2, 1, 3).reshape(b, c, cfg.d_model)
         x = x + _dense(bp['mha']['o'], o)
-        x = x + _ffn(cfg, bp['ffn'], _norm(cfg, bp['norm2'], x))
+        x = _ffn_residual(cfg, bp['ffn'], bp['norm2'], x)
 
         # append the chunk's tiles in place at [offset, offset + C)
         def write(big, chunk):
