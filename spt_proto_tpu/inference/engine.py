@@ -758,10 +758,6 @@ def _decode_hidden(iw: InferenceWeights, tokens: jax.Array,
         if quantized:
             k8, ks_new = _quantize_kv(k_new)          # [B,KV,D] + [B,KV]
             v8, vs_new = _quantize_kv(v_new)
-            # the quantized kernel takes per-head tables (grouped DMAs
-            # not ported to it yet)
-            if tables.shape[1] != kv:
-                tables = jnp.repeat(tables, kv // tables.shape[1], axis=1)
             kv_pad = ksc.shape[2]
             stage_mb = 2 * (kv * tables.shape[2] * tps * TILE * 2
                             * cfg.d_head
@@ -771,9 +767,13 @@ def _decode_hidden(iw: InferenceWeights, tokens: jax.Array,
             # (e.g. 8 slots x 32 kv heads x 3 tiles) the unrolled scalar
             # code also overflows the 1 MB SMEM - cap at 512
             unroll = b * kv * tables.shape[2]
-            fn = decode_attention_rows_q_ms \
-                if cfg.decode_multislot and ms_envelope \
-                and stage_mb < 11 and unroll <= 512 \
+            use_ms = cfg.decode_multislot and ms_envelope \
+                and stage_mb < 11 and unroll <= 512
+            if use_ms and tables.shape[1] != kv:
+                # the ms twin still takes per-head tables; the grid
+                # kernel handles grouped tables natively (sel_group)
+                tables = jnp.repeat(tables, kv // tables.shape[1], axis=1)
+            fn = decode_attention_rows_q_ms if use_ms \
                 else decode_attention_rows_q
             o, kc, vc, cc, ksc, vsc = fn(
                 q4, kc, vc, cc, ksc, vsc, tables.astype(jnp.int32),

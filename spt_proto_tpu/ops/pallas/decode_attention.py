@@ -979,20 +979,32 @@ def _rows_kernel_q(tables, n_tiles, pos, tile_base,                 # SMEM
                    kn_ref, vn_ref, cn_ref, kscn_ref, vscn_ref,
                    tabv_ref,
                    o_ref, k_out, v_out, c_out, ksc_out, vsc_out,
-                   ks_all, vs_all, kslab, vslab, kss_line, vss_line, c_scr,
-                   sem_l, sem_wk, sem_wv, sem_c, sem_s,
-                   *, ps: int, tps: int, t_max: int, nt_layer: int,
-                   scale: float, clamp: float, write_codes: bool, kv: int):
-    """Quantized twin of _rows_kernel.
+                   *scratch,
+                   ps: int, tps: int, t_max: int, nt_layer: int,
+                   scale: float, clamp: float, write_codes: bool,
+                   kv: int, sel_group: int = 1, h_chunk: int = 0):
+    """Quantized twin of _rows_kernel — including its sel_group grouped
+    DMAs and h_chunk head chunking (round-4 port; the round-3 kernel was
+    whole-slot per-head only, which is why int8 lost 30% at OPT-2.7B's
+    kv=32 shapes, docs/PERF.md).
 
     The per-token scales do NOT ride per-tile DMAs (measured: doubling
     the DMA issue count erased the bandwidth win — the per-tile-visit
     fixed cost is the decode floor). Instead the WHOLE layer-slab of
-    scales for this slot ([1, KV, nt_layer, 1, ps], a few tens of KB)
+    scales for this slot ([1, nt_layer, KV_pad, ps], a few tens of KB)
     arrives in ONE strided copy per operand, the table's lanes are packed
-    into [tps, ltot] line buffers with unrolled VMEM moves (cheap VPU
-    work), and the merged write-tile scale goes back with one strided
+    into [tps, chunk lanes] line buffers with unrolled VMEM moves (cheap
+    VPU work), and the merged write-tile scale goes back with one strided
     write per operand. Net extra DMAs per program: 2 reads + 2 writes."""
+    h_chunk = h_chunk or kv
+    g_eff = min(sel_group, h_chunk)
+    if g_eff == 1:
+        (ks_all, vs_all, kslab, vslab, kss_line, vss_line, c_scr, o_scr,
+         sem_l, sem_wk, sem_wv, sem_c, sem_s) = scratch
+    else:
+        (ks_all, vs_all, kslab, vslab, kss_line, vss_line, c_scr, o_scr,
+         kstg, vstg, stg_wk, stg_wv,
+         sem_l, sem_wk, sem_wv, sem_c, sem_s, sem_stg, sem_gw) = scratch
     b = pl.program_id(0)
     g = q_ref.shape[2]
     d = q_ref.shape[3]
@@ -1002,9 +1014,9 @@ def _rows_kernel_q(tables, n_tiles, pos, tile_base,                 # SMEM
     w_tile = base + p_b // ps
     w_col = jax.lax.rem(p_b, ps)
     hspan = t_max * ps
-    ltot = kv * hspan
+    lt_c = h_chunk * hspan
 
-    # ---- scale slabs: one strided DMA each (kv rows x nt_layer tiles)
+    # ---- scale slabs: one strided DMA each (nt_layer tiles x kv rows)
     rks = pltpu.make_async_copy(
         ksc_ref.at[pl.ds(b, 1), pl.ds(base, nt_layer)], kslab, sem_s)
     rvs = pltpu.make_async_copy(
@@ -1012,21 +1024,7 @@ def _rows_kernel_q(tables, n_tiles, pos, tile_base,                 # SMEM
     rks.start()
     rvs.start()
 
-    copies = []
-    for h in range(kv):
-        for t in range(t_max):
-            tid = jnp.maximum(tables[b, h, t], 0)
-            lane0 = (h * t_max + t) * ps
-            ck = pltpu.make_async_copy(
-                k_ref.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, tps)],
-                ks_all.at[:, :, :, :, pl.ds(lane0, ps)], sem_l)
-            cv = pltpu.make_async_copy(
-                v_ref.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(tid, tps)],
-                vs_all.at[:, :, :, :, pl.ds(lane0, ps)], sem_l)
-            ck.start()
-            cv.start()
-            copies.append((ck, cv))
-
+    # ---- codes slab: read-merge-write at the write tile
     if write_codes:
         rc = pltpu.make_async_copy(
             c_ref.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], c_scr, sem_c)
@@ -1058,89 +1056,206 @@ def _rows_kernel_q(tables, n_tiles, pos, tile_base,                 # SMEM
     wks.start()
     wvs.start()
 
-    # ---- pack the table's scale lanes into [tps, ltot] line buffers
-    # (unrolled VMEM moves — no DMAs)
-    for h in range(kv):
-        for t in range(t_max):
-            rel = jnp.clip(tables[b, h, t] - base, 0, nt_layer - tps)
-            lane0 = (h * t_max + t) * ps
-            for u in range(tps):
-                kss_line[pl.ds(u, 1), pl.ds(lane0, ps)] = \
-                    kslab[0, pl.ds(rel + u, 1), h]
-                vss_line[pl.ds(u, 1), pl.ds(lane0, ps)] = \
-                    vslab[0, pl.ds(rel + u, 1), h]
-
-    for ck, cv in copies:
-        ck.wait()
-        cv.wait()
-
-    # merge the new token's int8 K/V columns, write the write tile back
+    # chunk-invariant masks / metadata
     u_w = jax.lax.rem(w_tile, tps)
     sub_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tps, d, ps), 2)
     lane_i5 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tps, d, ps), 4)
-    for h in range(kv):
-        off = (h * t_max + n_t - 1) * ps
-        kn = kn_ref[0, pl.ds(h, 1)][0]
-        vn = vn_ref[0, pl.ds(h, 1)][0]
-        sel = (sub_i == u_w) & (lane_i5 == w_col)
-        ks_all[:, :, :, :, pl.ds(off, ps)] = jnp.where(
-            sel, kn, ks_all[:, :, :, :, pl.ds(off, ps)])
-        vs_all[:, :, :, :, pl.ds(off, ps)] = jnp.where(
-            sel, vn, vs_all[:, :, :, :, pl.ds(off, ps)])
-        # (scale line buffers already carry the merged write-column scale:
-        # they were packed from the slab AFTER the merge)
-        wk = pltpu.make_async_copy(
-            ks_all.at[:, :, pl.ds(u_w, 1), :, pl.ds(off, ps)],
-            k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
-            sem_wk.at[h])
-        wv = pltpu.make_async_copy(
-            vs_all.at[:, :, pl.ds(u_w, 1), :, pl.ds(off, ps)],
-            v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
-            sem_wv.at[h])
-        wk.start()
-        wv.start()
-
-    q_all = q_ref[0].reshape(kv * g, d).astype(jnp.float32)
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, (kv * g, ltot), 1)
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (kv * g, ltot), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (h_chunk * g, lt_c), 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (h_chunk * g, lt_c), 0)
     own = (lane_i // hspan) == (row_i // g)
     col_in_tile = jax.lax.rem(lane_i, ps)
-    tv = tabv_ref[0]
-    tid_lane = jnp.broadcast_to(tv[:, :, None],
-                                (kv, t_max, ps)).reshape(1, ltot)
     e_lane = lane_i[:1] // ps
     t_lane = jax.lax.rem(e_lane, t_max)
-    scs, oks = [], []
-    for u in range(tps):
-        sc = jax.lax.dot_general(
-            q_all, ks_all[0, 0, u].astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        sc = sc * kss_line[pl.ds(u, 1)]     # dequant: [1, ltot] lane scale
-        if clamp > 0.0:
-            sc = jnp.clip(sc, -clamp, clamp)
-        gt = tid_lane + u
-        nv = jnp.where(
-            (tid_lane < 0) | (t_lane >= n_t), 0,
-            jnp.where(gt == w_tile, w_col + 1,
-                      jnp.where(gt < w_tile, ps, 0)))
-        ok = own & (col_in_tile < nv)
-        scs.append(jnp.where(ok, sc, NEG_INF))
-        oks.append(ok)
-    m = scs[0].max(axis=-1, keepdims=True)
-    for u in range(1, tps):
-        m = jnp.maximum(m, scs[u].max(axis=-1, keepdims=True))
-    l = jnp.zeros_like(m)
-    pv = jnp.zeros((kv * g, d), jnp.float32)
-    for u in range(tps):
-        e = jnp.where(oks[u], jnp.exp(scs[u] - m), 0.0)
-        l = l + jnp.sum(e, axis=-1, keepdims=True)
-        ev = e * vss_line[pl.ds(u, 1)]      # fold v dequant into probs
-        pv = pv + jax.lax.dot_general(ev, vs_all[0, 0, u].astype(
-            jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    out = pv / jnp.maximum(l, 1e-30)
-    o_ref[0] = out.reshape(kv, g, d).astype(o_ref.dtype)
+    tvp = tabv_ref[0]                       # [KV/sel_group, t_max]
+    q_full = q_ref[0].reshape(kv * g, d).astype(jnp.float32)
+
+    for h_base in range(0, kv, h_chunk):
+        # ---- stream the chunk's tiles into the packed buffers
+        if g_eff == 1:
+            copies = []
+            for hh in range(h_chunk):
+                h = h_base + hh
+                for t in range(t_max):
+                    tid = jnp.maximum(tables[b, h // sel_group, t], 0)
+                    lane0 = (hh * t_max + t) * ps
+                    ck = pltpu.make_async_copy(
+                        k_ref.at[pl.ds(b, 1), pl.ds(h, 1),
+                                 pl.ds(tid, tps)],
+                        ks_all.at[:, :, :, :, pl.ds(lane0, ps)], sem_l)
+                    cv = pltpu.make_async_copy(
+                        v_ref.at[pl.ds(b, 1), pl.ds(h, 1),
+                                 pl.ds(tid, tps)],
+                        vs_all.at[:, :, :, :, pl.ds(lane0, ps)], sem_l)
+                    ck.start()
+                    cv.start()
+                    copies.append((ck, cv))
+        else:
+            entries = [(h_base + j * g_eff, t)
+                       for j in range(h_chunk // g_eff)
+                       for t in range(t_max)]
+
+            def stg_copy(i):
+                hs, t = entries[i]
+                slot = i % NBUF
+                tid = jnp.maximum(tables[b, hs // sel_group, t], 0)
+                ck = pltpu.make_async_copy(
+                    k_ref.at[pl.ds(b, 1), pl.ds(hs, g_eff),
+                             pl.ds(tid, tps)],
+                    kstg.at[pl.ds(slot, 1)], sem_stg.at[slot])
+                cv = pltpu.make_async_copy(
+                    v_ref.at[pl.ds(b, 1), pl.ds(hs, g_eff),
+                             pl.ds(tid, tps)],
+                    vstg.at[pl.ds(slot, 1)], sem_stg.at[slot])
+                return ck, cv
+
+            live = {}
+            for i in range(min(NBUF, len(entries))):
+                live[i] = stg_copy(i)
+                live[i][0].start()
+                live[i][1].start()
+
+        # ---- pack the chunk's scale lanes into [tps, lt_c] line
+        # buffers (unrolled VMEM moves; overlaps the tile DMAs)
+        for hh in range(h_chunk):
+            h = h_base + hh
+            for t in range(t_max):
+                rel = jnp.clip(tables[b, h // sel_group, t] - base, 0,
+                               nt_layer - tps)
+                lane0 = (hh * t_max + t) * ps
+                for u in range(tps):
+                    kss_line[pl.ds(u, 1), pl.ds(lane0, ps)] = \
+                        kslab[0, pl.ds(rel + u, 1), h]
+                    vss_line[pl.ds(u, 1), pl.ds(lane0, ps)] = \
+                        vslab[0, pl.ds(rel + u, 1), h]
+
+        if g_eff == 1:
+            for ck, cv in copies:
+                ck.wait()
+                cv.wait()
+        else:
+            for i, (hs, t) in enumerate(entries):
+                ck, cv = live.pop(i)
+                ck.wait()
+                cv.wait()
+                slot = i % NBUF
+                for hr in range(g_eff):
+                    hh = (hs - h_base) + hr
+                    lane0 = (hh * t_max + t) * ps
+                    ks_all[:, :, :, :, pl.ds(lane0, ps)] = \
+                        kstg[slot, hr][None, None]
+                    vs_all[:, :, :, :, pl.ds(lane0, ps)] = \
+                        vstg[slot, hr][None, None]
+                nxt = i + NBUF
+                if nxt < len(entries):
+                    live[nxt] = stg_copy(nxt)
+                    live[nxt][0].start()
+                    live[nxt][1].start()
+
+        # ---- merge the new token's int8 K/V columns, write back
+        for hh in range(h_chunk):
+            h = h_base + hh
+            off = (hh * t_max + n_t - 1) * ps
+            kn = kn_ref[0, pl.ds(h, 1)][0]
+            vn = vn_ref[0, pl.ds(h, 1)][0]
+            sel = (sub_i == u_w) & (lane_i5 == w_col)
+            ks_all[:, :, :, :, pl.ds(off, ps)] = jnp.where(
+                sel, kn, ks_all[:, :, :, :, pl.ds(off, ps)])
+            vs_all[:, :, :, :, pl.ds(off, ps)] = jnp.where(
+                sel, vn, vs_all[:, :, :, :, pl.ds(off, ps)])
+            if g_eff == 1:
+                wk = pltpu.make_async_copy(
+                    ks_all.at[:, :, pl.ds(u_w, 1), :, pl.ds(off, ps)],
+                    k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+                    sem_wk.at[h])
+                wv = pltpu.make_async_copy(
+                    vs_all.at[:, :, pl.ds(u_w, 1), :, pl.ds(off, ps)],
+                    v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+                    sem_wv.at[h])
+                wk.start()
+                wv.start()
+            else:
+                stg_wk[:, pl.ds(h, 1)] = ks_all[:, :, pl.ds(u_w, 1), :,
+                                                pl.ds(off, ps)]
+                stg_wv[:, pl.ds(h, 1)] = vs_all[:, :, pl.ds(u_w, 1), :,
+                                                pl.ds(off, ps)]
+
+        # ---- attention with dequant folded in (scores x k-scale lane,
+        # probs x v-scale lane before PV)
+        q_all = q_full[h_base * g:(h_base + h_chunk) * g]
+        r0 = h_base // sel_group
+        n_r = max(1, h_chunk // sel_group)
+        rep = h_chunk // n_r
+        tv_c = jnp.broadcast_to(tvp[r0:r0 + n_r][:, None],
+                                (n_r, rep, t_max)).reshape(h_chunk, t_max)
+        tid_lane = jnp.broadcast_to(tv_c[:, :, None],
+                                    (h_chunk, t_max, ps)).reshape(1, lt_c)
+        scs, oks = [], []
+        for u in range(tps):
+            sc = jax.lax.dot_general(
+                q_all, ks_all[0, 0, u].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            sc = sc * kss_line[pl.ds(u, 1)]
+            if clamp > 0.0:
+                sc = jnp.clip(sc, -clamp, clamp)
+            gt = tid_lane + u
+            nv = jnp.where(
+                (tid_lane < 0) | (t_lane >= n_t), 0,
+                jnp.where(gt == w_tile, w_col + 1,
+                          jnp.where(gt < w_tile, ps, 0)))
+            ok = own & (col_in_tile < nv)
+            scs.append(jnp.where(ok, sc, NEG_INF))
+            oks.append(ok)
+        m = scs[0].max(axis=-1, keepdims=True)
+        for u in range(1, tps):
+            m = jnp.maximum(m, scs[u].max(axis=-1, keepdims=True))
+        l = jnp.zeros_like(m)
+        pv = jnp.zeros((h_chunk * g, d), jnp.float32)
+        for u in range(tps):
+            e = jnp.where(oks[u], jnp.exp(scs[u] - m), 0.0)
+            l = l + jnp.sum(e, axis=-1, keepdims=True)
+            ev = e * vss_line[pl.ds(u, 1)]
+            pv = pv + jax.lax.dot_general(
+                ev, vs_all[0, 0, u].astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        out = pv / jnp.maximum(l, 1e-30)
+        if h_chunk == kv:
+            o_ref[0] = out.reshape(kv, g, d).astype(o_ref.dtype)
+        else:
+            o_scr[pl.ds(h_base * g, h_chunk * g)] = out
+
+        # ---- drain the chunk's per-head write-backs before its packed
+        # buffers are reloaded by the next chunk
+        if g_eff == 1:
+            for hh in range(h_chunk):
+                h = h_base + hh
+                pltpu.make_async_copy(
+                    ks_all.at[:, :, pl.ds(0, 1), :, pl.ds(0, ps)],
+                    k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+                    sem_wk.at[h]).wait()
+                pltpu.make_async_copy(
+                    vs_all.at[:, :, pl.ds(0, 1), :, pl.ds(0, ps)],
+                    v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
+                    sem_wv.at[h]).wait()
+
+    if g_eff > 1:
+        gwk = pltpu.make_async_copy(
+            stg_wk, k_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_gw)
+        gwv = pltpu.make_async_copy(
+            stg_wv, v_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)], sem_gw)
+        gwk.start()
+        gwv.start()
+
+    if h_chunk != kv:
+        o_ref[0] = o_scr[...].reshape(kv, g, d).astype(o_ref.dtype)
+    if g_eff > 1:
+        pltpu.make_async_copy(
+            stg_wk, k_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)],
+            sem_gw).wait()
+        pltpu.make_async_copy(
+            stg_wv, v_out.at[pl.ds(b, 1), :, pl.ds(w_tile, 1)],
+            sem_gw).wait()
 
     if write_codes:
         pltpu.make_async_copy(
@@ -1152,36 +1267,29 @@ def _rows_kernel_q(tables, n_tiles, pos, tile_base,                 # SMEM
     pltpu.make_async_copy(
         vslab.at[:, pl.ds(0, 1)],
         vsc_out.at[pl.ds(b, 1), pl.ds(w_tile, 1)], sem_s).wait()
-    for h in range(kv):
-        pltpu.make_async_copy(
-            ks_all.at[:, :, pl.ds(0, 1), :, pl.ds(0, ps)],
-            k_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
-            sem_wk.at[h]).wait()
-        pltpu.make_async_copy(
-            vs_all.at[:, :, pl.ds(0, 1), :, pl.ds(0, ps)],
-            v_out.at[pl.ds(b, 1), pl.ds(h, 1), pl.ds(w_tile, 1)],
-            sem_wv.at[h]).wait()
 
 
 @functools.partial(
     jax.jit, static_argnames=('ps', 'tps', 'scale', 'clamp', 'nt_layer',
-                              'interpret'))
+                              'interpret', 'max_vmem_mb'))
 def decode_attention_rows_q(q, k_cache, v_cache, c_cache, k_scale, v_scale,
                             tables, n_tiles, pos, k_new, v_new, c_new,
                             kscale_new, vscale_new, tile_base=None, *,
                             ps: int = 128, tps: int = 1, scale: float = 1.0,
                             clamp: float = 0.0, nt_layer: int = 0,
-                            interpret: Optional[bool] = None):
+                            interpret: Optional[bool] = None,
+                            max_vmem_mb: float = 12.0):
     """int8 contiguous tile-major decode attention + in-place append.
 
-    Same contract as decode_attention_rows, plus: k_cache/v_cache are
-    int8, k_scale/v_scale [B, NT, KV_pad, ps] f32 hold one dequant scale
-    per cached token (tile-major-outer layout: a layer's slab
-    [nt_layer, KV_pad, ps] is one contiguous HBM burst; KV_pad is the kv
-    head count rounded up to 8 — Mosaic DMAs fault when the second-minor
-    dim straddles a sublane tile, e.g. 12), k_new/v_new [B, KV, D] are PRE-QUANTIZED int8 and
-    kscale_new/vscale_new [B, KV] their scales (see
-    inference/engine.py::_quantize_kv). `nt_layer` = tiles per layer
+    Same contract as decode_attention_rows — including grouped tables
+    (N_TAB < KV => sel_group grouped DMAs) and automatic head chunking —
+    plus: k_cache/v_cache are int8, k_scale/v_scale [B, NT, KV_pad, ps]
+    f32 hold one dequant scale per cached token (tile-major-outer layout:
+    a layer's slab [nt_layer, KV_pad, ps] is one contiguous HBM burst;
+    KV_pad is the kv head count rounded up to 8 — Mosaic DMAs fault when
+    the second-minor dim straddles a sublane tile), k_new/v_new [B, KV, D]
+    are PRE-QUANTIZED int8 and kscale_new/vscale_new [B, KV] their scales
+    (see inference/engine.py::_quantize_kv). `nt_layer` = tiles per layer
     block (every table id must fall in [tile_base, tile_base+nt_layer));
     defaults to the whole pool. Returns (o, k', v', c', k_scale',
     v_scale') — all caches updated in place."""
@@ -1190,6 +1298,9 @@ def decode_attention_rows_q(q, k_cache, v_cache, c_cache, k_scale, v_scale,
     b, kv, g, d = q.shape
     n_sub = c_cache.shape[3]
     t_max = tables.shape[2]
+    n_tab = tables.shape[1]
+    assert kv % n_tab == 0, (kv, n_tab)
+    sel_group = kv // n_tab
     write_codes = n_sub > 1
     if nt_layer == 0:
         nt_layer = k_cache.shape[2]
@@ -1200,13 +1311,58 @@ def decode_attention_rows_q(q, k_cache, v_cache, c_cache, k_scale, v_scale,
         pad = ((0, 0), (0, kv_pad - kv))
         kscale_new = jnp.pad(kscale_new, pad)
         vscale_new = jnp.pad(vscale_new, pad)
-    vmem_mb = (kv * t_max * tps * ps * 2 * d * k_cache.dtype.itemsize
-               + kv * nt_layer * ps * 2 * 4) / 2**20
-    assert vmem_mb < 12, (
-        f'packed K/V + scale-slab buffers need {vmem_mb:.1f} MB VMEM — '
-        f'reduce the table width (t_max), tps, or split kv heads')
+    slab_mb = 2 * nt_layer * kv_pad * ps * 4 / 2**20
+    h_chunk = kv
+
+    def _mb(hc):
+        return (2 * hc * t_max * tps * ps * d * k_cache.dtype.itemsize
+                + 2 * tps * hc * t_max * ps * 4) / 2**20 + slab_mb
+
+    def _ok(hc):
+        if _mb(hc) >= max_vmem_mb:
+            return False
+        return hc == kv or hc * t_max * tps * ps <= 2 ** 15
+    while h_chunk > 1 and not _ok(h_chunk):
+        h_chunk = next(c for c in range(h_chunk - 1, 0, -1)
+                       if kv % c == 0
+                       and (c % sel_group == 0 or sel_group % c == 0))
+    assert _ok(h_chunk), (
+        f'packed int8 K/V + scale buffers need {_mb(h_chunk):.1f} MB VMEM '
+        f'even at one head per chunk — reduce the table width (t_max) or '
+        f'tps')
+    g_eff = min(sel_group, h_chunk)
     if tile_base is None:
         tile_base = jnp.zeros((b,), jnp.int32)
+    lt_c = h_chunk * t_max * ps
+    scratch = [
+        pltpu.VMEM((1, 1, tps, d, lt_c), k_cache.dtype),
+        pltpu.VMEM((1, 1, tps, d, lt_c), v_cache.dtype),
+        pltpu.VMEM((1, nt_layer, kv_pad, ps), jnp.float32),
+        pltpu.VMEM((1, nt_layer, kv_pad, ps), jnp.float32),
+        pltpu.VMEM((tps, lt_c), jnp.float32),
+        pltpu.VMEM((tps, lt_c), jnp.float32),
+        pltpu.VMEM((1, kv, 1, n_sub, ps), c_cache.dtype),
+        pltpu.VMEM((kv * g, d), jnp.float32),   # chunked-output staging
+    ]
+    if g_eff > 1:
+        scratch += [
+            pltpu.VMEM((NBUF, g_eff, tps, d, ps), k_cache.dtype),
+            pltpu.VMEM((NBUF, g_eff, tps, d, ps), v_cache.dtype),
+            pltpu.VMEM((1, kv, 1, d, ps), k_cache.dtype),
+            pltpu.VMEM((1, kv, 1, d, ps), v_cache.dtype),
+        ]
+    scratch += [
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((kv,)),
+        pltpu.SemaphoreType.DMA((kv,)),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if g_eff > 1:
+        scratch += [
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA(()),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b,),
@@ -1222,7 +1378,7 @@ def decode_attention_rows_q(q, k_cache, v_cache, c_cache, k_scale, v_scale,
             pl.BlockSpec((1, kv, n_sub, 1), lambda i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((1, 1, kv_pad, 1), lambda i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((1, 1, kv_pad, 1), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, kv, t_max), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, n_tab, t_max), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, kv, g, d), lambda i, *_: (i, 0, 0, 0)),
@@ -1232,24 +1388,12 @@ def decode_attention_rows_q(q, k_cache, v_cache, c_cache, k_scale, v_scale,
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((1, 1, tps, d, kv * t_max * ps), k_cache.dtype),
-            pltpu.VMEM((1, 1, tps, d, kv * t_max * ps), v_cache.dtype),
-            pltpu.VMEM((1, nt_layer, kv_pad, ps), jnp.float32),
-            pltpu.VMEM((1, nt_layer, kv_pad, ps), jnp.float32),
-            pltpu.VMEM((tps, kv * t_max * ps), jnp.float32),
-            pltpu.VMEM((tps, kv * t_max * ps), jnp.float32),
-            pltpu.VMEM((1, kv, 1, n_sub, ps), c_cache.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((kv,)),
-            pltpu.SemaphoreType.DMA((kv,)),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(_rows_kernel_q, ps=ps, tps=tps, t_max=t_max,
                                nt_layer=nt_layer, scale=scale, clamp=clamp,
-                               write_codes=write_codes, kv=kv)
+                               write_codes=write_codes, kv=kv,
+                               sel_group=sel_group, h_chunk=h_chunk)
     o, k2, v2, c2, ks2, vs2 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

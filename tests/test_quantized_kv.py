@@ -337,3 +337,66 @@ def test_paged_engine_quantized():
     completions = eng.run_until_done()
     assert len(completions) == 3
     assert all(len(c.tokens) == 4 for c in completions)
+
+
+def _q_mb(hc, t_max, tps, d, nt, kv_pad):
+    slab = 2 * nt * kv_pad * PS * 4 / 2**20
+    return (2 * hc * t_max * tps * PS * d
+            + 2 * tps * hc * t_max * PS * 4) / 2**20 + slab
+
+
+def test_rows_q_grouped_tables():
+    """Grouped tables (N_TAB < KV) on the quantized kernel: one DMA per
+    entry covers sel_group heads (round-4 port of the bf16 sel_group
+    path); results must match the oracle."""
+    args = list(_kernel_case(kv=4, g=1, nt=6, t_max=3, seed=3))
+    for n_tab in (1, 2):
+        a = list(args)
+        a[6] = a[6][:, :n_tab]               # shared table rows
+        got = decode_attention_rows_q(*a, ps=PS, tps=1, scale=0.125,
+                                      interpret=True)
+        want = decode_attention_rows_q_ref(*a, ps=PS, tps=1, scale=0.125)
+        np.testing.assert_allclose(np.asarray(got[0]),
+                                   np.asarray(want[0]),
+                                   atol=2e-5, rtol=1e-5,
+                                   err_msg=str(n_tab))
+        for i in (1, 2, 4, 5):
+            np.testing.assert_array_equal(np.asarray(got[i]),
+                                          np.asarray(want[i]))
+
+
+def test_rows_q_head_chunked():
+    """h_chunk < kv on the quantized kernel (the flagship VMEM path,
+    e.g. OPT-2.7B 32 KV heads): bit-identical to whole-slot."""
+    args = _kernel_case(kv=4, g=1, nt=6, t_max=3, seed=4)
+    whole = decode_attention_rows_q(*args, ps=PS, tps=1, scale=0.125,
+                                    interpret=True)
+    for hc in (2, 1):
+        mb = _q_mb(hc, 3, 1, 64, 6, 4)
+        chunked = decode_attention_rows_q(
+            *args, ps=PS, tps=1, scale=0.125, interpret=True,
+            max_vmem_mb=mb * 1.01)
+        # o: interpret-mode CPU dots block differently per shape (~1e-8
+        # noise); caches/scales must be bit-identical
+        np.testing.assert_allclose(np.asarray(whole[0]),
+                                   np.asarray(chunked[0]),
+                                   rtol=1e-6, atol=1e-6)
+        for w, c in zip(whole[1:], chunked[1:]):
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(c))
+
+
+def test_rows_q_grouped_head_chunked():
+    """sel_group > h_chunk on the quantized kernel: per-chunk grouped
+    DMAs shrink to g_eff heads, results bit-identical."""
+    args = list(_kernel_case(kv=4, g=1, nt=6, t_max=3, seed=5))
+    args[6] = args[6][:, :1]                 # ONE table row, sel_group=4
+    whole = decode_attention_rows_q(*args, ps=PS, tps=1, scale=0.125,
+                                    interpret=True)
+    mb = _q_mb(2, 3, 1, 64, 6, 4)
+    chunked = decode_attention_rows_q(*args, ps=PS, tps=1, scale=0.125,
+                                      interpret=True,
+                                      max_vmem_mb=mb * 1.01)
+    np.testing.assert_allclose(np.asarray(whole[0]), np.asarray(chunked[0]),
+                               rtol=1e-6, atol=1e-6)
+    for w, c in zip(whole[1:], chunked[1:]):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(c))
