@@ -30,7 +30,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_f_tile(d_ff: int, d_model: int, m: int, itemsize: int,

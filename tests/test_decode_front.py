@@ -3,7 +3,7 @@ parity vs the engine's jnp path and end-to-end token parity."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
+
 
 from spt_proto_tpu.config import tiny_config
 from spt_proto_tpu.inference.engine import KVCache, generate, prefill
@@ -44,7 +44,6 @@ def test_front_kernel_matches_jnp_path():
     """Drive decode_front directly and compare every output against the
     engine's unfused computation."""
     from spt_proto_tpu.inference.engine import TILE, _norm, _qkv_proj
-    from spt_proto_tpu.ops.lookup import pq_topk_indices  # noqa: F401
     from spt_proto_tpu.ops.pallas.decode_front import decode_front
     from spt_proto_tpu.ops.pq import pq_encode
     cfg, params = sparse_model()
