@@ -107,3 +107,26 @@ def test_engine_mesh_matches_single_device(attention):
     ref = run(None)
     got = run(make_mesh(2, 4))
     assert ref == got, (ref, got)
+
+
+def test_generate_mesh_fused_front_matches_single_device():
+    """The fused decode-front/tail/lm_head kernels under the TP mesh
+    (GSPMD partitioning of pallas_call): token-for-token identical to
+    single-device. Uses an l2-metric sparse model inside the fused-front
+    envelope (the flagship serving config shape)."""
+    from spt_proto_tpu.inference.engine import generate
+    cfg = tiny_config('opt', d_model=128, n_heads=2, d_feedforward=256,
+                      vocab_size=256, max_length=512).replace(
+        dtype=jnp.float32, pq_metric='l2')
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    cfg, params = surgery.upgrade(cfg, params, 'mha_v1',
+                                  jax.random.PRNGKey(1))
+    cfg, params = surgery.upgrade(cfg, params, 'mha_v2',
+                                  jax.random.PRNGKey(2))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    prompts = jax.random.randint(jax.random.PRNGKey(3), (4, 200), 1,
+                                 cfg.vocab_size)
+    ref = np.asarray(generate(iw, prompts, 6, max_len=256))
+    mesh = make_mesh(4, 2)   # heads 2 % 2 == 0, batch 4 % 4 == 0
+    got = np.asarray(generate(iw, prompts, 6, max_len=256, mesh=mesh))
+    np.testing.assert_array_equal(ref, got)
