@@ -66,20 +66,26 @@ def main():
     ap.add_argument('--steps', type=int, default=64)
     ap.add_argument('--quantized', action='store_true')
     ap.add_argument('--variants', default='all')
+    ap.add_argument('--size', default='125m')
     args = ap.parse_args()
 
     from spt_proto_tpu.config import opt_config
     from spt_proto_tpu.tuning import surgery
 
     max_len = args.ctx + 128
-    dcfg = opt_config('125m').replace(
-        dtype=jnp.bfloat16, attn_impl='pallas', pq_metric='l2',
-        max_length=max_len)
+    dcfg = opt_config(args.size).replace(
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.bfloat16 if args.size != '125m' else jnp.float32,
+        attn_impl='pallas', pq_metric='l2', max_length=max_len)
     params = surgery.init_params(dcfg, jax.random.PRNGKey(0))
+    if args.size != '125m':
+        params = jax.device_get(params)   # keep the fp tree off-chip
     scfg, sparams = surgery.upgrade(dcfg, params, 'mha_v1',
                                     jax.random.PRNGKey(0))
     scfg, sparams = surgery.upgrade(scfg, sparams, 'mha_v2',
                                     jax.random.PRNGKey(1))
+    if args.size != '125m':
+        sparams = jax.device_get(sparams)
 
     VARIANTS = {
         'baseline_r3': dict(decode_fused_front=False,
@@ -94,6 +100,31 @@ def main():
         'unroll_only': dict(decode_fused_front=False,
                             decode_fused_ffn=False,
                             decode_scan_unroll=12),
+        'unroll2': dict(decode_fused_front=False, decode_fused_ffn=False,
+                        decode_scan_unroll=2),
+        'unroll4': dict(decode_fused_front=False, decode_fused_ffn=False,
+                        decode_scan_unroll=4),
+        'unroll6': dict(decode_fused_front=False, decode_fused_ffn=False,
+                        decode_scan_unroll=6),
+        'tail_unroll2': dict(decode_fused_front=False,
+                             decode_fused_ffn=True, decode_scan_unroll=2),
+        'tail_unroll4': dict(decode_fused_front=False,
+                             decode_fused_ffn=True, decode_scan_unroll=4),
+        'tail_unroll12': dict(decode_fused_front=False,
+                              decode_fused_ffn=True,
+                              decode_scan_unroll=12),
+        'front_tail_unroll2': dict(decode_fused_front=True,
+                                   decode_fused_ffn=True,
+                                   decode_scan_unroll=2),
+        'front_tail_unroll4': dict(decode_fused_front=True,
+                                   decode_fused_ffn=True,
+                                   decode_scan_unroll=4),
+        'front_unroll12': dict(decode_fused_front=True,
+                               decode_fused_ffn=False,
+                               decode_scan_unroll=12),
+        'tail_only_unroll12': dict(decode_fused_front=False,
+                                   decode_fused_ffn=True,
+                                   decode_scan_unroll=12),
     }
     names = list(VARIANTS) if args.variants == 'all' \
         else args.variants.split(',')
@@ -101,7 +132,8 @@ def main():
         cfg_v = scfg.replace(**VARIANTS[name])
         tps = measure(cfg_v, sparams, args.batch, args.ctx, max_len,
                       args.steps, args.quantized)
-        print(json.dumps({'variant': name, 'quantized': args.quantized,
+        print(json.dumps({'variant': name, 'size': args.size,
+                          'quantized': args.quantized,
                           'batch': args.batch, 'ctx': args.ctx,
                           'tokens_per_sec': round(tps, 1)}), flush=True)
 

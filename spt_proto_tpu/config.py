@@ -73,6 +73,13 @@ class ModelConfig:
     # guaranteed DMA/compute overlap. Dense-FFN serving only (routed and
     # int8-weight paths keep their existing forms).
     decode_fused_ffn: bool = True
+    # fuse the greedy lm_head matmul + argmax into one streaming kernel
+    # (ops/pallas/lm_head.py): the [B, V] logits are never materialized.
+    # Separate from decode_fused_ffn because their regimes differ — the
+    # head fusion is a per-STEP win, the FFN tail is per-LAYER and
+    # competes with decode_scan_unroll's cross-layer software pipelining
+    # (measured round 4: tail+full-unroll is slower than either alone).
+    decode_fused_head: bool = True
     # fuse the decode FRONT (norm1 + QKV proj + PQ encode + tile
     # selection) into one kernel (ops/pallas/decode_front.py) in the
     # flagship OPT sparse serving envelope (MHA, per-head selection,

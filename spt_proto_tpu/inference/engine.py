@@ -909,7 +909,7 @@ def decode_step_greedy(iw: InferenceWeights, tokens: jax.Array,
     when the lm_head is int8-quantized."""
     cfg = iw.cfg
     kern = iw.params['lm_head']['kernel']
-    if isinstance(kern, dict) or not cfg.decode_fused_ffn:
+    if isinstance(kern, dict) or not cfg.decode_fused_head:
         logits, cache = decode_step(iw, tokens, cache)
         return jnp.argmax(logits, -1).astype(jnp.int32), cache
     from spt_proto_tpu.ops.pallas.lm_head import lm_head_argmax

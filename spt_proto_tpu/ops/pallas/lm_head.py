@@ -26,6 +26,17 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
+def _pick_v_tile(d: int, v: int, itemsize: int) -> int:
+    """Largest V-tile whose double-buffered weight blocks fit an ~8 MB
+    VMEM budget: ft=2048 at d_model 2048 is 16 MB of W blocks alone and
+    trips the 16 MB scoped-VMEM limit on v5e (seen at OPT-1.3B)."""
+    budget = 8 * 2**20
+    for cand in (2048, 1024, 512):
+        if v >= cand and 2 * d * cand * itemsize <= budget:
+            return cand
+    return 512
+
+
 def _kernel(x_ref, w_ref, o_ref, bval, *, v: int, ft: int, n_tiles: int,
             out_dtype):
     t = pl.program_id(0)
@@ -60,7 +71,7 @@ def lm_head_argmax(x: jax.Array, w: jax.Array, *,
     b, d = x.shape
     v = w.shape[1]
     m_pad = max(8, -(-b // 8) * 8)
-    ft = 2048 if v >= 2048 else 512
+    ft = _pick_v_tile(d, v, w.dtype.itemsize)
     n_tiles = -(-v // ft)
     xp = x if b == m_pad else jnp.pad(x, ((0, m_pad - b), (0, 0)))
     out = pl.pallas_call(

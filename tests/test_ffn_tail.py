@@ -161,6 +161,25 @@ def test_lm_head_argmax_matches_jnp():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_lm_head_v_tile_fits_vmem():
+    """Flagship shapes must never exceed the v5e 16 MB scoped-VMEM limit:
+    double-buffered [D, ft] weight blocks are the dominant term (the
+    un-budgeted ft=2048 pick OOM'd the 1.3B bench, d_model 2048 bf16)."""
+    from spt_proto_tpu.ops.pallas.lm_head import _pick_v_tile
+    for d, itemsize in ((768, 2), (2048, 2), (2560, 2), (4096, 2),
+                        (5120, 2), (2048, 4)):
+        ft = _pick_v_tile(d, 50272, itemsize)
+        assert 2 * d * ft * itemsize <= 12 * 2**20, (d, itemsize, ft)
+    # and parity still holds at the flagship width (interpret mode)
+    from spt_proto_tpu.ops.pallas.lm_head import lm_head_argmax
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 2048), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (2048, 4096),
+                          jnp.float32)
+    got = lm_head_argmax(x, w)
+    want = jnp.argmax(x @ w, axis=-1).astype(jnp.int32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 @pytest.mark.parametrize('arch', ['opt', 'llama'])
 def test_decode_step_greedy_matches_argmax(arch):
     from spt_proto_tpu.inference.engine import (KVCache, decode_step,
