@@ -88,8 +88,11 @@ def main():
         sparams = jax.device_get(sparams)
 
     VARIANTS = {
+        'defaults': {},   # whatever config auto-resolution picks
         'baseline_r3': dict(decode_fused_front=False,
-                            decode_fused_ffn=False),
+                            decode_fused_ffn=False,
+                            decode_fused_head=False,
+                            decode_scan_unroll=1),
         'tail': dict(decode_fused_front=False, decode_fused_ffn=True),
         'front': dict(decode_fused_front=True, decode_fused_ffn=False),
         'front_tail': dict(decode_fused_front=True,

@@ -64,15 +64,20 @@ class ModelConfig:
     # unroll factor for the decode step's layer scan: >1 lets XLA
     # software-pipeline across layer boundaries (prefetch layer i+1's
     # weights during layer i's math) at the cost of code size / compile
-    # time. The 125M decode step is ~75% dispatch-bound (docs/PERF.md
-    # round-3 decomposition) — this attacks exactly that overhead.
-    decode_scan_unroll: int = 1
+    # time. 0 = AUTO: full unroll for d_model <= 1024 (the
+    # dispatch-bound regime, measured +7% at 125M), rolled scan above
+    # (unrolling measured -42% at 1.3B). docs/PERF.md round-4.
+    decode_scan_unroll: int = 0
     # fuse the decode tail (norm2 -> fc1 -> act -> fc2 -> residual) into
     # one streaming Pallas kernel at skinny m (ops/pallas/ffn_tail.py):
     # one dispatch replaces 4-5 and the fc1/fc2 weight tiles stream with
-    # guaranteed DMA/compute overlap. Dense-FFN serving only (routed and
-    # int8-weight paths keep their existing forms).
-    decode_fused_ffn: bool = True
+    # guaranteed DMA/compute overlap. Dense-FFN serving only (routed
+    # paths keep their existing forms). None = AUTO: fuse only for
+    # int8-quantized weights (the fused kernel is the only form that
+    # streams the halved bytes); bf16 keeps XLA's fusions, which beat
+    # the kernel under the auto layer-scan unroll at 125M (-14%) and
+    # at 1.3B (-22%) — docs/PERF.md round-4. True forces it on.
+    decode_fused_ffn: Optional[bool] = None
     # fuse the greedy lm_head matmul + argmax into one streaming kernel
     # (ops/pallas/lm_head.py): the [B, V] logits are never materialized.
     # Separate from decode_fused_ffn because their regimes differ — the

@@ -259,8 +259,19 @@ def _ffn_residual(cfg: ModelConfig, p: dict, pn: dict,
     for s in x.shape[:-1]:
         rows *= s
     quant = [isinstance(p[n]['kernel'], dict) for n in names]
+    # auto (None): fuse only for int8-quantized weights (the fused
+    # kernel is the only form that streams the halved bytes). For bf16
+    # the tail measured round 4 (B=8 ctx 2048 int8-KV): +3% at 125M
+    # with a rolled scan, but -14% under the auto full unroll that
+    # dominates there (5,243 -> 4,338 tok/s), and -22% at 1.3B
+    # (897 -> 700) where XLA's own fc1/fc2 fusions pipeline across
+    # layer boundaries better than the serialized kernel — so bf16
+    # auto is OFF; force with decode_fused_ffn=True.
+    use_fused = cfg.decode_fused_ffn
+    if use_fused is None:
+        use_fused = all(quant)
     eligible = (
-        cfg.decode_fused_ffn and cfg.ffn != FFN_ROUTED and rows <= 256
+        use_fused and cfg.ffn != FFN_ROUTED and rows <= 256
         and cfg.d_model % 128 == 0 and cfg.d_feedforward % 128 == 0
         and (all(quant) or not any(quant)))
     if eligible and all(quant):
@@ -294,6 +305,19 @@ def _ffn_residual(cfg: ModelConfig, p: dict, pn: dict,
         y = ffn_tail(xnf, xf, p['fc1']['kernel'], p['fc1']['bias'],
                      p['fc2']['kernel'], p['fc2']['bias'], act='relu')
     return y.reshape(*lead, cfg.d_model)
+
+
+def _decode_unroll(cfg: ModelConfig, l: int) -> int:
+    """Resolve decode_scan_unroll. 0 = auto: fully unroll the layer scan
+    in the dispatch-bound small-model regime (XLA software-pipelines
+    layer i+1's weight prefetch under layer i's math; measured +7% at
+    125M) but keep the rolled scan at flagship scale where the step is
+    weight-streaming-bound and unrolling only bloats compile time
+    (measured -42% at 1.3B with unroll=4)."""
+    u = cfg.decode_scan_unroll
+    if u == 0:
+        u = l if cfg.d_model <= 1024 else 1
+    return min(u, l)
 
 
 def _encode_codes(cfg: ModelConfig, quantizer: dict, x: jax.Array
@@ -889,7 +913,7 @@ def _decode_hidden(iw: InferenceWeights, tokens: jax.Array,
         layer, (x, cache.k, cache.v, cache.codes,
                 cache.k_scale, cache.v_scale),
         (p['blocks'], jnp.arange(l)),
-        unroll=min(cfg.decode_scan_unroll, l))
+        unroll=_decode_unroll(cfg, l))
     cache = KVCache(k=kc, v=vc, codes=cc, length=cache.length + 1,
                     k_scale=ksc, v_scale=vsc)
     x = _norm(cfg, p['final_norm'], x)
@@ -1192,7 +1216,7 @@ def verify_step(iw: InferenceWeights, tokens: jax.Array,
         layer, (x, cache.k, cache.v, cache.codes,
                 cache.k_scale, cache.v_scale),
         (p['blocks'], jnp.arange(l)),
-        unroll=min(cfg.decode_scan_unroll, l))
+        unroll=_decode_unroll(cfg, l))
     cache = KVCache(k=kc, v=vc, codes=cc, length=pos0 + kk,
                     k_scale=ksc, v_scale=vsc)
     x = _norm(cfg, p['final_norm'], x)
