@@ -101,7 +101,13 @@ def bench_train(cfg, params, batch, seq, iters=8):
                                               make_train_step)
     tx = make_optimizer(params)
     step = make_train_step(cfg, tx, trainable=trainable_mask(params))
-    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    # params arrive as host (device_get'd) numpy trees — put the whole
+    # state on device BEFORE timing, or every timed call re-uploads the
+    # full parameter tree through the ~0.3 s/dispatch tunnel and the
+    # measurement is host-transfer, not the train step (this artifact
+    # produced the bogus round-3 "149 tok/s at 1.3B" number)
+    state = jax.device_put(
+        TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)))
     rng = np.random.RandomState(0)
     batch_d = {
         'inputs': jnp.asarray(rng.randint(0, cfg.vocab_size, (batch, seq)),

@@ -54,6 +54,9 @@ def time_step(cfg, params, batch, iters, *, freeze=True, fwd_only=False,
                 return c + lm_loss(out['logits'], batch['targets']), ()
             c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
             return c
+        # host numpy params would be re-uploaded through the tunnel on
+        # every timed call (see bench_ladder.bench_train)
+        params = jax.device_put(params)
         compiled = jax.jit(loop).lower(params, batch).compile()
         compiled(params, batch).block_until_ready()
         best = float('inf')
@@ -67,7 +70,8 @@ def time_step(cfg, params, batch, iters, *, freeze=True, fwd_only=False,
     trainable = trainable_mask(params) if freeze else None
     step = make_train_step(cfg, tx, trainable=trainable,
                            train_quantizer=train_quantizer)
-    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    state = jax.device_put(
+        TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)))
 
     def loop(state, batch):
         def body(st, _):

@@ -24,3 +24,26 @@ jax.config.update('jax_default_matmul_precision', 'highest')
 
 def pytest_sessionstart(session):
     assert jax.devices()[0].platform == 'cpu', jax.devices()
+
+
+import pytest  # noqa: E402
+
+_last_module = [None]
+
+
+@pytest.fixture(autouse=True)
+def _bounded_compile_state(request):
+    """Drop JAX's cached executables/traces at every test-MODULE boundary.
+
+    Single-process full-suite runs (~280 tests, 8 virtual devices)
+    nondeterministically segfault the XLA CPU compiler around ~78% of
+    the suite (observed 2026-08 at different tests on different runs,
+    always inside backend_compile; fine in isolation and under
+    xdist -n 4). Bounding accumulated compile state per module keeps
+    the single-process run green; within-module compile reuse — where
+    nearly all sharing happens — is preserved."""
+    mod = request.node.nodeid.split('::', 1)[0]
+    if _last_module[0] not in (None, mod):
+        jax.clear_caches()
+    _last_module[0] = mod
+    yield

@@ -14,18 +14,6 @@ from spt_proto_tpu.ops import routed_ffn as rops
 from spt_proto_tpu.ops import routed_ffn_ep as eps
 from spt_proto_tpu.parallel.mesh import make_mesh
 
-@pytest.fixture(scope='module', autouse=True)
-def _fresh_compile_state():
-    """Compiling the EP train step (shard_map + all_to_all + autodiff on
-    an 8-device mesh) after ~180 earlier tests' compile state segfaults
-    the XLA CPU compiler in single-process full-suite runs (reproduced
-    twice at test_ep_model_train_step_matches_plain, 2026-08; fine in
-    isolation and under xdist). Dropping cached executables/traces
-    before this module keeps the single-process suite green."""
-    jax.clear_caches()
-    yield
-
-
 T, D, N, BS = 64, 16, 8, 12   # tokens, d_model, blocks, block hidden
 TOPK = 3
 R = 4                         # lora rank
