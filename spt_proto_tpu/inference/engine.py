@@ -929,15 +929,18 @@ def decode_step_greedy(iw: InferenceWeights, tokens: jax.Array,
 
     Token-identical to argmax(decode_step(...)[0]): the kernel rounds
     logits to the serving dtype before comparing and breaks ties toward
-    the lowest index, like jnp.argmax. Falls back to the unfused form
-    when the lm_head is int8-quantized."""
+    the lowest index, like jnp.argmax. int8-quantized lm_heads stream
+    their halved bytes through the int8 twin kernel."""
     cfg = iw.cfg
     kern = iw.params['lm_head']['kernel']
-    if isinstance(kern, dict) or not cfg.decode_fused_head:
+    if not cfg.decode_fused_head:
         logits, cache = decode_step(iw, tokens, cache)
         return jnp.argmax(logits, -1).astype(jnp.int32), cache
-    from spt_proto_tpu.ops.pallas.lm_head import lm_head_argmax
     x, cache = _decode_hidden(iw, tokens, cache)
+    if isinstance(kern, dict):          # int8 weight-only serving
+        from spt_proto_tpu.ops.pallas.lm_head import lm_head_argmax_int8
+        return lm_head_argmax_int8(x, kern), cache
+    from spt_proto_tpu.ops.pallas.lm_head import lm_head_argmax
     return lm_head_argmax(x, kern), cache
 
 

@@ -88,3 +88,67 @@ def lm_head_argmax(x: jax.Array, w: jax.Array, *,
         interpret=interpret,
     )(xp, w)
     return out[:b, 0]
+
+
+def _kernel_int8(x_ref, q_ref, s_ref, o_ref, bval, *, v: int, ft: int,
+                 out_dtype):
+    """int8 twin: same bf16 dot + per-channel dequant as int8_matmul so
+    the winner matches argmax over the unfused int8 logits."""
+    t = pl.program_id(0)
+    x = x_ref[...].astype(jnp.bfloat16)
+    acc = jax.lax.dot(x, q_ref[...].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    lg = (acc * s_ref[...]).astype(out_dtype).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, lg.shape, 1)
+    gidx = lane + t * ft
+    lg = jnp.where(gidx < v, lg, NEG)
+    loc_val = jnp.max(lg, axis=-1, keepdims=True)
+    loc_arg = jnp.argmax(lg, axis=-1).astype(jnp.int32)[:, None] + t * ft
+
+    @pl.when(t == 0)
+    def _seed():
+        bval[...] = jnp.full_like(bval, NEG)
+        o_ref[...] = jnp.zeros_like(o_ref)
+    take = loc_val > bval[...]
+    bval[...] = jnp.where(take, loc_val, bval[...])
+    o_ref[...] = jnp.where(take, loc_arg, o_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def lm_head_argmax_int8(x: jax.Array, wq: dict, *,
+                        interpret: Optional[bool] = None) -> jax.Array:
+    """Greedy token ids from an int8-quantized lm_head ({'q': [D, V_pad]
+    int8, 'scale': [V] f32}), streaming the halved weight bytes."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    b, d = x.shape
+    q = wq['q']
+    v = wq['scale'].reshape(-1).shape[0]
+    v_pad = q.shape[1]
+    m_pad = max(8, -(-b // 8) * 8)
+    # largest tile that both fits the VMEM budget and divides V_pad
+    # (quantize_int8 pads V to a multiple of 256, so 256 always works)
+    budget = 8 * 2**20
+    ft = 256
+    for cand in (2048, 1024, 512):
+        if v_pad % cand == 0 and 2 * d * cand * q.dtype.itemsize <= budget:
+            ft = cand
+            break
+    n_tiles = v_pad // ft
+    sp = jnp.pad(wq['scale'].reshape(1, -1).astype(jnp.float32),
+                 ((0, 0), (0, v_pad - v)))
+    xp = x if b == m_pad else jnp.pad(x, ((0, m_pad - b), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_kernel_int8, v=v, ft=ft, out_dtype=x.dtype),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((m_pad, d), lambda t: (0, 0)),
+            pl.BlockSpec((d, ft), lambda t: (0, t)),
+            pl.BlockSpec((1, ft), lambda t: (0, t)),
+        ],
+        out_specs=pl.BlockSpec((m_pad, 1), lambda t: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((m_pad, 1), jnp.float32)],
+        interpret=interpret,
+    )(xp, q, sp)
+    return out[:b, 0]

@@ -161,6 +161,24 @@ def test_lm_head_argmax_matches_jnp():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_lm_head_argmax_int8_matches_unfused():
+    """Winner must equal argmax over the unfused int8-dequant logits
+    (int8_matmul semantics: bf16 dot, per-channel scale, cast to the
+    serving dtype), including V padding never winning."""
+    from spt_proto_tpu.inference.weights import quantize_int8
+    from spt_proto_tpu.ops.pallas.int8_matmul import int8_matmul
+    from spt_proto_tpu.ops.pallas.lm_head import lm_head_argmax_int8
+    for b, d, v in ((8, 128, 300), (3, 256, 2500)):
+        x = jax.random.normal(jax.random.PRNGKey(b + v), (b, d),
+                              jnp.bfloat16)
+        w = jax.random.normal(jax.random.PRNGKey(v), (d, v), jnp.float32)
+        wq = quantize_int8(w)
+        got = lm_head_argmax_int8(x, wq)
+        logits = int8_matmul(x, wq['q'], wq['scale'])[:, :v]
+        want = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_lm_head_v_tile_fits_vmem():
     """Flagship shapes must never exceed the v5e 16 MB scoped-VMEM limit:
     double-buffered [D, ft] weight blocks are the dominant term (the
