@@ -25,6 +25,15 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: the round-4 auto full-unroll decode
+# programs take minutes each to compile through the tunnel; cached
+# executables bring a warm bench run down to measurement time only
+# (verified working through the axon remote-compile path).
+jax.config.update(
+    'jax_compilation_cache_dir',
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+
 
 def _bench_forward(cfg, batch_size: int, seq_len: int, iters: int = 20):
     """Teacher-forced forward tokens/s, iterated on device."""
@@ -120,6 +129,15 @@ def _decode_loop(iw, logits, cache, batch, steps):
     return batch * steps / best
 
 
+def _phase(msg):
+    import sys
+    print(f'[bench +{time.perf_counter() - _T0:7.1f}s] {msg}',
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
 def main():
     from spt_proto_tpu.config import ModelConfig, opt_config
     from spt_proto_tpu.tuning import surgery
@@ -143,13 +161,16 @@ def main():
                                     jax.random.PRNGKey(0))
     scfg, sparams = surgery.upgrade(scfg, sparams, 'mha_v2',
                                     jax.random.PRNGKey(1))
+    _phase('decode: dense')
     dense_dec = _bench_decode(dcfg, params, batch, prompt_len, max_len,
                               steps)
+    _phase('decode: sparse bf16')
     sparse_bf16 = _bench_decode(scfg, sparams, batch, prompt_len, max_len,
                                 steps)
     # flagship serving config: PQ tile-sparse attention + int8 KV cache
     # (per-token scales; wins or ties bf16 at every measured batch, half
     # the cache bytes — docs/PERF.md round-2 table)
+    _phase('decode: sparse int8-KV')
     sparse_int8 = _bench_decode(scfg, sparams, batch, prompt_len, max_len,
                                 steps, quantized_kv=True) if on_tpu else 0.0
     sparse_dec = max(sparse_int8, sparse_bf16)
@@ -163,6 +184,7 @@ def main():
     big = {}
     if on_tpu and not os.environ.get('SPT_BENCH_FAST'):
         try:
+            _phase('1.3B section')
             big = _bench_1p3b()
         except Exception as e:
             import sys
@@ -184,7 +206,9 @@ def main():
                              ffn='routed', ffn_block_size=768,
                              pq_metric='l2' if on_tpu else 'l1')
     sparse_cfg.validate()
+    _phase('forward: dense')
     dense_fwd = _bench_forward(dense_cfg, fbatch, fseq)
+    _phase('forward: sparse')
     sparse_fwd = _bench_forward(sparse_cfg, fbatch, fseq)
 
     print(json.dumps({

@@ -131,7 +131,14 @@ def _qkv_proj(mha: dict, x: jax.Array):
     overhead dominates at decode m=batch), else three matmuls."""
     if 'qkv' in mha:
         w = mha['qkv']
-        y = jnp.einsum('bsd,tdo->tbso', x, w['kernel'])
+        kern = w['kernel']
+        if isinstance(kern, dict):      # int8 fused [D, 3D], cols [q|k|v]
+            from spt_proto_tpu.ops.pallas.int8_matmul import int8_matmul
+            d3 = kern['scale'].shape[-1]
+            y = int8_matmul(x, kern['q'], kern['scale'])[..., :d3]
+            y = jnp.moveaxis(y.reshape(*x.shape[:-1], 3, d3 // 3), -2, 0)
+        else:
+            y = jnp.einsum('bsd,tdo->tbso', x, kern)
         if 'bias' in w:
             y = y + w['bias'][:, None, None, :]
         return y[0], y[1], y[2]
@@ -766,6 +773,7 @@ def _decode_hidden(iw: InferenceWeights, tokens: jax.Array,
             and cache.codes.shape[3] == cfg.n_subspaces <= 8 \
             and cfg.d_model % 128 == 0 \
             and 'qkv' in p['blocks']['mha'] \
+            and not isinstance(p['blocks']['mha']['qkv']['kernel'], dict) \
             and 'quantizer_bd' in p['blocks']['mha']:
         from spt_proto_tpu.ops.pallas.decode_front import (decode_front,
                                                            front_vmem_mb)

@@ -123,8 +123,8 @@ class InferenceWeights:
             # keeps TP alignment: sharding the LAST dim on 'model'
             # shards each of q/k/v by head, exactly like the separate
             # form (parallel/sharding.py mha/qkv rule). GQA (kv < h)
-            # keeps separate projections (widths differ); int8 keeps
-            # separate (the dequant kernel is 2-D).
+            # keeps separate projections (widths differ); int8 fuses
+            # below as a [D, 3D] column-concat instead (2-D kernel).
             qkv = {'kernel': jnp.stack(
                 [b_out['mha'][n]['kernel'] for n in ('q', 'k', 'v')],
                 axis=-3)}
@@ -166,9 +166,28 @@ class InferenceWeights:
             # quantize the big per-layer GEMMs (weight-only); biases, norms,
             # router, codebook stay fp. Routed-FFN kernels are consumed as
             # reshaped per-block views (not via _dense), so they stay fp too.
-            for name in ('q', 'k', 'v', 'o'):
-                out['blocks']['mha'][name]['kernel'] = quantize_int8(
-                    out['blocks']['mha'][name]['kernel'])
+            mha_o = out['blocks']['mha']
+            if cfg.kv_heads == cfg.n_heads:
+                # fuse q/k/v into ONE [L, D, 3D] int8 matmul (columns
+                # [q|k|v]): per-output-channel scales make the fold
+                # exact, and decode pays one fused-dequant dispatch
+                # instead of three (same motivation as the bf16 fused
+                # form above; the 2-D dequant kernel takes the concat)
+                qkv = {'kernel': quantize_int8(jnp.concatenate(
+                    [mha_o[n]['kernel'] for n in ('q', 'k', 'v')],
+                    axis=-1))}
+                if 'bias' in mha_o['q']:
+                    qkv['bias'] = jnp.stack(
+                        [mha_o[n]['bias'] for n in ('q', 'k', 'v')],
+                        axis=-2)
+                for n in ('q', 'k', 'v'):
+                    del mha_o[n]
+                mha_o['qkv'] = qkv
+            else:
+                for name in ('q', 'k', 'v'):
+                    mha_o[name]['kernel'] = quantize_int8(
+                        mha_o[name]['kernel'])
+            mha_o['o']['kernel'] = quantize_int8(mha_o['o']['kernel'])
             if not routed:
                 for name in ffn_names:
                     out['blocks']['ffn'][name]['kernel'] = quantize_int8(
@@ -228,6 +247,29 @@ class InferenceWeights:
                        'norm2': put_small(blocks['norm2'])}
         for name in ('q', 'k', 'v', 'o'):
             b_out['mha'][name] = quant_dense(blocks['mha'][name])
+        if cfg.kv_heads == cfg.n_heads:
+            # fuse the already-quantized q/k/v into the [L, D, 3D] form
+            # the unstaged build produces (concat of per-column-scaled
+            # int8 is exact; strip each part's tail padding first so the
+            # [q|k|v] column boundaries land at D and 2D)
+            d = cfg.d_model
+            parts = [b_out['mha'][n] for n in ('q', 'k', 'v')]
+            qcat = jnp.concatenate(
+                [p_['kernel']['q'][..., :d] for p_ in parts], axis=-1)
+            pad = (-qcat.shape[-1]) % 256
+            if pad:
+                qcat = jnp.pad(
+                    qcat, [(0, 0)] * (qcat.ndim - 1) + [(0, pad)])
+            qkv = {'kernel': {
+                'q': qcat,
+                'scale': jnp.concatenate(
+                    [p_['kernel']['scale'] for p_ in parts], axis=-1)}}
+            if 'bias' in parts[0]:
+                qkv['bias'] = jnp.stack(
+                    [p_['bias'] for p_ in parts], axis=-2)
+            for n in ('q', 'k', 'v'):
+                del b_out['mha'][n]
+            b_out['mha']['qkv'] = qkv
         if 'quantizer' in blocks['mha']:
             b_out['mha']['quantizer'] = put_small(
                 blocks['mha']['quantizer'])
