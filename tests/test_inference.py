@@ -189,10 +189,17 @@ def test_int8_matmul_kernel_matches_ref():
                                atol=1e-1)
 
 
-def test_int8_engine_end_to_end():
-    cfg, params = setup_model('opt')
+@pytest.mark.parametrize('kw', [dict(arch='opt'),
+                                dict(arch='llama', n_kv_heads=2)])
+def test_int8_engine_end_to_end(kw):
+    """MHA exercises the fused [D, 3D] int8 qkv; GQA (llama kv=2) the
+    separate-projection fallback."""
+    cfg, params = setup_model(**kw)
     iw8 = InferenceWeights.from_params(cfg, params, quant='int8',
                                        dtype=jnp.float32)
+    if cfg.kv_heads == cfg.n_heads:
+        mha = iw8.params['blocks']['mha']
+        assert 'qkv' in mha and isinstance(mha['qkv']['kernel'], dict)
     iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
     tokens = jax.random.randint(jax.random.PRNGKey(10), (1, 8), 0,
                                 cfg.vocab_size)
