@@ -64,9 +64,11 @@ class ModelConfig:
     # unroll factor for the decode step's layer scan: >1 lets XLA
     # software-pipeline across layer boundaries (prefetch layer i+1's
     # weights during layer i's math) at the cost of code size / compile
-    # time. 0 = AUTO: full unroll for d_model <= 1024 (the
-    # dispatch-bound regime, measured +7% at 125M), rolled scan above
-    # (unrolling measured -42% at 1.3B). docs/PERF.md round-4.
+    # time. 0 = AUTO: full unroll for sparse_v2 serving at
+    # d_model <= 1024 (the dispatch-bound regime, measured +7% at
+    # 125M), rolled scan otherwise (unrolling measured -42% at 1.3B;
+    # dense decode's unrolled program compiles pathologically slowly
+    # for a within-drift gain). docs/PERF.md round-4.
     decode_scan_unroll: int = 0
     # fuse the decode tail (norm2 -> fc1 -> act -> fc2 -> residual) into
     # one streaming Pallas kernel at skinny m (ops/pallas/ffn_tail.py):

@@ -316,14 +316,19 @@ def _ffn_residual(cfg: ModelConfig, p: dict, pn: dict,
 
 def _decode_unroll(cfg: ModelConfig, l: int) -> int:
     """Resolve decode_scan_unroll. 0 = auto: fully unroll the layer scan
-    in the dispatch-bound small-model regime (XLA software-pipelines
-    layer i+1's weight prefetch under layer i's math; measured +7% at
-    125M) but keep the rolled scan at flagship scale where the step is
-    weight-streaming-bound and unrolling only bloats compile time
-    (measured -42% at 1.3B with unroll=4)."""
+    for the SPARSE serving config in the dispatch-bound small-model
+    regime (XLA software-pipelines layer i+1's weight prefetch under
+    layer i's math; measured +7% at 125M) but keep the rolled scan at
+    flagship scale where the step is weight-streaming-bound (measured
+    -42% at 1.3B with unroll=4). Dense decode stays rolled even when
+    small: its many-tile grouped-DMA kernel makes the unrolled program
+    pathological to compile (~17 min through the tunnel) for a
+    within-drift +1.6% — force with decode_scan_unroll=n_layers if the
+    compile cost is acceptable."""
     u = cfg.decode_scan_unroll
     if u == 0:
-        u = l if cfg.d_model <= 1024 else 1
+        u = l if (cfg.d_model <= 1024
+                  and cfg.attention == ATTN_SPARSE_V2) else 1
     return min(u, l)
 
 
