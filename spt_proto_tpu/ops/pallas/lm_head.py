@@ -29,12 +29,15 @@ NEG = -1e30
 def _pick_v_tile(d: int, v: int, itemsize: int) -> int:
     """Largest V-tile whose double-buffered weight blocks fit an ~8 MB
     VMEM budget: ft=2048 at d_model 2048 is 16 MB of W blocks alone and
-    trips the 16 MB scoped-VMEM limit on v5e (seen at OPT-1.3B)."""
+    trips the 16 MB scoped-VMEM limit on v5e (seen at OPT-1.3B). The
+    candidate list extends down to 128 so the guard is self-enforcing
+    at any d (d=8192 bf16 needs ft<=256); the floor stays within budget
+    for every d the 16 GB chip could hold weights for."""
     budget = 8 * 2**20
-    for cand in (2048, 1024, 512):
+    for cand in (2048, 1024, 512, 256, 128):
         if v >= cand and 2 * d * cand * itemsize <= budget:
             return cand
-    return 512
+    return 128
 
 
 def _kernel(x_ref, w_ref, o_ref, bval, *, v: int, ft: int, n_tiles: int,
@@ -91,13 +94,21 @@ def lm_head_argmax(x: jax.Array, w: jax.Array, *,
 
 
 def _kernel_int8(x_ref, q_ref, s_ref, o_ref, bval, *, v: int, ft: int,
-                 out_dtype):
+                 block_k: int, out_dtype):
     """int8 twin: same bf16 dot + per-channel dequant as int8_matmul so
-    the winner matches argmax over the unfused int8 logits."""
+    the winner matches argmax over the unfused int8 logits. The dot
+    accumulates f32 partials over the SAME block_k-wide K chunks
+    int8_matmul tiles with, so the accumulation order (and therefore
+    any near-tie after the out_dtype cast) matches by construction."""
     t = pl.program_id(0)
     x = x_ref[...].astype(jnp.bfloat16)
-    acc = jax.lax.dot(x, q_ref[...].astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
+    d = x.shape[1]
+    acc = jnp.zeros((x.shape[0], ft), jnp.float32)
+    for k0 in range(0, d, block_k):
+        acc += jax.lax.dot(
+            x[:, k0:k0 + block_k],
+            q_ref[pl.ds(k0, block_k), :].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
     lg = (acc * s_ref[...]).astype(out_dtype).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, lg.shape, 1)
     gidx = lane + t * ft
@@ -126,20 +137,26 @@ def lm_head_argmax_int8(x: jax.Array, wq: dict, *,
     v = wq['scale'].reshape(-1).shape[0]
     v_pad = q.shape[1]
     m_pad = max(8, -(-b // 8) * 8)
-    # largest tile that both fits the VMEM budget and divides V_pad
-    # (quantize_int8 pads V to a multiple of 256, so 256 always works)
-    budget = 8 * 2**20
-    ft = 256
-    for cand in (2048, 1024, 512):
-        if v_pad % cand == 0 and 2 * d * cand * q.dtype.itemsize <= budget:
-            ft = cand
-            break
-    n_tiles = v_pad // ft
+    # ceil-div tiling with the gidx<v mask (Pallas pads the ragged edge
+    # block), mirroring the bf16 twin — a divisibility requirement made
+    # real vocabs (OPT 50272 -> padded 50432) fall back to ft=256 and
+    # pay ~4x the grid steps of the bf16 kernel
+    ft = _pick_v_tile(d, v_pad, q.dtype.itemsize)
+    n_tiles = -(-v_pad // ft)
+    # K-chunk width matching int8_matmul's block_k rule for this m, so
+    # the f32 accumulation order (and any near-tie) matches exactly
+    if b < 64 and d % 256 == 0:
+        block_k = 256
+    elif d % 128 == 0:
+        block_k = 128
+    else:
+        block_k = d
     sp = jnp.pad(wq['scale'].reshape(1, -1).astype(jnp.float32),
                  ((0, 0), (0, v_pad - v)))
     xp = x if b == m_pad else jnp.pad(x, ((0, m_pad - b), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(_kernel_int8, v=v, ft=ft, out_dtype=x.dtype),
+        functools.partial(_kernel_int8, v=v, ft=ft, block_k=block_k,
+                          out_dtype=x.dtype),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((m_pad, d), lambda t: (0, 0)),

@@ -50,7 +50,10 @@ def test_generate_fused_ffn_matches_unfused(arch):
     cfg = tiny_config(arch, d_model=128, n_heads=4, d_feedforward=256,
                       vocab_size=256).replace(dtype=jnp.float32)
     params = surgery.init_params(cfg, jax.random.PRNGKey(0))
-    iw_f = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    # auto (None) resolves to OFF for bf16/f32 weights — force the fused
+    # bf16 tail ON so this parity test actually exercises the kernel
+    iw_f = InferenceWeights.from_params(
+        cfg.replace(decode_fused_ffn=True), params, dtype=jnp.float32)
     iw_u = InferenceWeights.from_params(
         cfg.replace(decode_fused_ffn=False), params, dtype=jnp.float32)
     p = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
@@ -71,7 +74,9 @@ def test_sparse_generate_fused_ffn_matches_unfused():
                                   jax.random.PRNGKey(1))
     cfg, params = surgery.upgrade(cfg, params, 'mha_v2',
                                   jax.random.PRNGKey(2))
-    iw_f = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    # force the fused bf16 tail ON (auto = OFF for fp weights)
+    iw_f = InferenceWeights.from_params(
+        cfg.replace(decode_fused_ffn=True), params, dtype=jnp.float32)
     iw_u = InferenceWeights.from_params(
         cfg.replace(decode_fused_ffn=False), params, dtype=jnp.float32)
     p = jax.random.randint(jax.random.PRNGKey(3), (2, 8), 0,
@@ -168,7 +173,10 @@ def test_lm_head_argmax_int8_matches_unfused():
     from spt_proto_tpu.inference.weights import quantize_int8
     from spt_proto_tpu.ops.pallas.int8_matmul import int8_matmul
     from spt_proto_tpu.ops.pallas.lm_head import lm_head_argmax_int8
-    for b, d, v in ((8, 128, 300), (3, 256, 2500)):
+    # d=512 forces multiple K blocks in int8_matmul (block_k=256 at
+    # m<64): the fused kernel chunks its accumulation to match, so
+    # near-ties resolve identically (ADVICE r4)
+    for b, d, v in ((8, 128, 300), (3, 256, 2500), (4, 512, 3000)):
         x = jax.random.normal(jax.random.PRNGKey(b + v), (b, d),
                               jnp.bfloat16)
         w = jax.random.normal(jax.random.PRNGKey(v), (d, v), jnp.float32)
