@@ -92,6 +92,14 @@ class ModelConfig:
     # flagship OPT sparse serving envelope (MHA, per-head selection,
     # l2 metric, code width <= 8, QKV weights + code slab fit VMEM)
     decode_fused_front: bool = True
+    # route dense-FFN TP matmuls through the manually-overlapped ring
+    # collective-matmul forms (parallel/overlap.py) instead of pjit's
+    # inserted collectives. Takes effect when a parallel.overlap.tp_mesh
+    # context is active at trace time (train + serving). Exact (parity-
+    # tested on the virtual mesh); the ring overlaps ICI transfer with
+    # MXU work on multi-chip hardware — single-chip it is a no-op ring
+    # of length 1.
+    tp_overlap: bool = False
     # routed FFN (ref adapter.py:163: block_size = d_ff//4 => 4 blocks)
     ffn_block_size: Optional[int] = None
     ffn_top_k: Optional[int] = None  # default: n_blocks//2

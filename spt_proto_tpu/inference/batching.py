@@ -247,9 +247,9 @@ class ContinuousBatchingEngine:
         # program over the mesh, with XLA inserting the o-projection
         # psum and lm_head gather (parallel/infer_sharding.py). The
         # scheduler and slot logic are unchanged — sharding is carried
-        # by the arrays. Contiguous cache only.
+        # by the arrays. Paged mode shards the page pools' head axis on
+        # 'model' (infer_sharding.shard_paged_cache).
         if mesh is not None:
-            assert not paged, 'mesh serving supports the contiguous cache'
             from spt_proto_tpu.parallel.infer_sharding import \
                 shard_inference_weights
             iw = shard_inference_weights(mesh, iw)
@@ -317,6 +317,10 @@ class ContinuousBatchingEngine:
                                              page_size, max_len,
                                              dtype=iw.cfg.dtype,
                                              quantized=quantized_kv)
+            if mesh is not None:
+                from spt_proto_tpu.parallel.infer_sharding import \
+                    shard_paged_cache
+                self.cache = shard_paged_cache(mesh, self.cache)
             self._prefill_fn = jax.jit(paged_prefill)
             self._decode_fn = functools.partial(
                 _paged_decode_and_sample, temperature=temperature)

@@ -245,11 +245,34 @@ def _ffn(cfg: ModelConfig, p: dict, x: jax.Array) -> jax.Array:
             else:
                 y = rops.routed_ffn_masked(xf, probs, top_k, w1, b1, w2,
                                            p['fc2']['bias'], act)
-    elif cfg.ffn_gated:
-        y = _dense(p['down'],
-                   act(_dense(p['gate'], xf)) * _dense(p['side'], xf))
     else:
-        y = _dense(p['fc2'], act(_dense(p['fc1'], xf)))
+        names = ('gate', 'side', 'down') if cfg.ffn_gated else ('fc1',
+                                                                'fc2')
+        tp = None
+        if cfg.tp_overlap and not any(
+                isinstance(p[n]['kernel'], dict) for n in names):
+            from spt_proto_tpu.parallel.overlap import current_tp_mesh
+            tp = current_tp_mesh()
+            if tp is not None and xf.shape[0] % tp[0].shape[tp[1]] != 0:
+                tp = None       # ring needs M divisible by the axis
+        if tp is not None:
+            from spt_proto_tpu.parallel.overlap import (
+                tp_ffn_overlapped_biased, tp_ffn_overlapped_gated)
+            mesh_, ax = tp
+            if cfg.ffn_gated:
+                y = tp_ffn_overlapped_gated(
+                    xf, p['gate']['kernel'], p['side']['kernel'],
+                    p['down']['kernel'], mesh=mesh_, axis_name=ax, act=act)
+            else:
+                y = tp_ffn_overlapped_biased(
+                    xf, p['fc1']['kernel'], p['fc1']['bias'],
+                    p['fc2']['kernel'], p['fc2']['bias'], mesh=mesh_,
+                    axis_name=ax, act=act)
+        elif cfg.ffn_gated:
+            y = _dense(p['down'],
+                       act(_dense(p['gate'], xf)) * _dense(p['side'], xf))
+        else:
+            y = _dense(p['fc2'], act(_dense(p['fc1'], xf)))
     return y.reshape(*lead, cfg.d_model)
 
 
@@ -332,10 +355,31 @@ def _decode_unroll(cfg: ModelConfig, l: int) -> int:
     return min(u, l)
 
 
-def _encode_codes(cfg: ModelConfig, quantizer: dict, x: jax.Array
-                  ) -> jax.Array:
-    """x [..., D] -> PQ codes [..., n_sub]."""
+def _encode_codes(cfg: ModelConfig, quantizer: dict, x: jax.Array,
+                  bd: Optional[dict] = None) -> jax.Array:
+    """x [..., D] -> PQ codes [..., n_sub].
+
+    When the block-diagonal encode matrices are supplied (bd = {'bd',
+    'cbn'}, from inference/weights.py::_attach_pq_bd), the l2 encode
+    runs as ONE [., d_head] @ [d_head, ns*nc] dot — the same shape the
+    fused decode-front kernel computes — so fused and unfused decode
+    paths produce bit-identical codes (the per-subspace einsum's
+    different accumulation order can flip argmin near-ties at bf16)."""
+    if bd is not None and cfg.pq_metric == 'l2':
+        ns = cfg.n_subspaces
+        nc = bd['bd'].shape[-1] // ns
+        dots = jnp.einsum('...d,dc->...c', x.astype(jnp.float32),
+                          bd['bd'], preferred_element_type=jnp.float32)
+        score = (bd['cbn'] - 2.0 * dots).reshape(*x.shape[:-1], ns, nc)
+        return jnp.argmin(score, axis=-1).astype(jnp.int32)
     return pq_ops.pq_encode(x, quantizer['codebook'], cfg.pq_metric)
+
+
+def _bd_of(mha: dict) -> Optional[dict]:
+    """Block-diag encode matrices when the weight build attached them."""
+    if 'quantizer_bd' in mha:
+        return {'bd': mha['quantizer_bd'], 'cbn': mha['quantizer_cbn']}
+    return None
 
 
 def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -391,8 +435,11 @@ def prefill(iw: InferenceWeights, tokens: jax.Array,
         if sparse:
             qz = q.reshape(b * cfg.n_heads, s, cfg.d_head)
             kz = k.reshape(b * cfg.n_heads, s, cfg.d_head)
-            codes_q = _encode_codes(cfg, bp['mha']['quantizer'], qz)
-            codes_k = _encode_codes(cfg, bp['mha']['quantizer'], kz)
+            bd_m = _bd_of(bp['mha'])
+            codes_q = _encode_codes(cfg, bp['mha']['quantizer'], qz,
+                                    bd=bd_m)
+            codes_k = _encode_codes(cfg, bp['mha']['quantizer'], kz,
+                                    bd=bd_m)
             blk_k = 128
             blk_q = 256 if s % 256 == 0 else 128
             if s % blk_q == 0 and s >= 2 * blk_k:
@@ -436,7 +483,7 @@ def prefill(iw: InferenceWeights, tokens: jax.Array,
             o = o.reshape(b, cfg.n_heads, s, cfg.d_head)
             k_codes_cache = _encode_codes(
                 cfg, bp['mha']['quantizer'],
-                k_kv.transpose(0, 1, 2, 3))       # [B, KV, S, n_sub]
+                k_kv.transpose(0, 1, 2, 3), bd=bd_m)       # [B, KV, S, n_sub]
         else:
             scores = jnp.einsum('bhid,bhjd->bhij', q, k,
                                 preferred_element_type=jnp.float32) * scale
@@ -639,10 +686,13 @@ def prefill_chunk_compute(iw: InferenceWeights, tokens: jax.Array,
         causal = col <= row                               # [C, S_tot]
         if sparse:
             qz = q.reshape(cfg.n_heads, c, cfg.d_head)
-            codes_q = _encode_codes(cfg, bp['mha']['quantizer'], qz)
+            bd_m = _bd_of(bp['mha'])
+            codes_q = _encode_codes(cfg, bp['mha']['quantizer'], qz,
+                                    bd=bd_m)
             c_new = _encode_codes(
                 cfg, bp['mha']['quantizer'],
-                k_new.reshape(kv, c, cfg.d_head))          # [KV, C, n_sub]
+                k_new.reshape(kv, c, cfg.d_head),
+                bd=bd_m)                                   # [KV, C, n_sub]
             # past codes arrive at the STORED width (maybe padded,
             # KVCache note); match over the true subspaces only
             codes_k = jnp.concatenate(
@@ -768,33 +818,45 @@ def _decode_hidden(iw: InferenceWeights, tokens: jax.Array,
     n_sup_max = -(-nt // tps_d)
     if sparse:
         nsel = min(nt, max(1, nt // cfg.sparse_coeff) + 1)
-    # fused front kernel (norm1 + QKV + PQ encode + tile selection in one
-    # dispatch, ops/pallas/decode_front.py) — flagship OPT sparse serving
-    # envelope only; the decode step is dispatch-bound (docs/PERF.md)
+    # fused front kernel (norm1 + QKV (+RoPE) + PQ encode + tile selection
+    # (+ int8 KV quantize) in one dispatch, ops/pallas/decode_front.py).
+    # v2 streams weights and the code slab from HBM, so the envelope is
+    # the flagship serving family itself: sparse_v2, l2 metric, per-head
+    # selection, fp weights (int8-weight serving keeps the XLA front for
+    # now), OPT or LLaMA, MHA or GQA, any context length.
     use_front = False
-    if sparse and cfg.decode_fused_front and cfg.arch == 'opt' \
-            and g == 1 and cfg.sparse_select_heads == 1 \
+    front_w = None
+    mha_p = p['blocks']['mha']
+    if sparse and cfg.decode_fused_front \
+            and cfg.sparse_select_heads == 1 \
             and cfg.pq_metric == 'l2' \
-            and cache.codes.shape[3] == cfg.n_subspaces <= 8 \
             and cfg.d_model % 128 == 0 \
-            and 'qkv' in p['blocks']['mha'] \
-            and not isinstance(p['blocks']['mha']['qkv']['kernel'], dict) \
-            and 'quantizer_bd' in p['blocks']['mha']:
-        from spt_proto_tpu.ops.pallas.decode_front import (decode_front,
-                                                           front_vmem_mb)
-        use_front = front_vmem_mb(
-            b, kv, nt, cfg.n_subspaces, TILE, cfg.d_model,
-            jnp.dtype(cfg.dtype).itemsize) < 11.0
+            and 'quantizer_bd' in mha_p:
+        if 'qkv' in mha_p and not isinstance(mha_p['qkv']['kernel'], dict):
+            use_front, front_w = True, 'stack'
+        elif 'q' in mha_p and not isinstance(mha_p['q']['kernel'], dict):
+            use_front, front_w = True, 'triple'
+    cos_b = sin_b = None
+    if use_front and cfg.arch == 'llama':
+        # RoPE tables at each slot's position, hoisted out of the layer
+        # scan (shared by every layer's front kernel call)
+        cos_b, sin_b = rope_cos_sin(pos, cfg.d_head, base=cfg.rope_base,
+                                    dtype=jnp.float32)
 
     def _attend(carry, bp, lix, q4, k_new, v_new, c_new, tables,
-                n_tiles, tps, clamp):
+                n_tiles, tps, clamp, kv_quant=None):
         """Shared decode tail: fused attention kernel dispatch + o-proj +
-        FFN residual. `tables` are PHYSICAL tile ids (-1 = unused)."""
+        FFN residual. `tables` are PHYSICAL tile ids (-1 = unused).
+        kv_quant: pre-quantized (k8, ks, v8, vs) from the fused front
+        (skips the per-layer _quantize_kv ops)."""
         x, kc, vc, cc, ksc, vsc = carry
         base = jnp.full((b,), lix * nt, jnp.int32)
         if quantized:
-            k8, ks_new = _quantize_kv(k_new)          # [B,KV,D] + [B,KV]
-            v8, vs_new = _quantize_kv(v_new)
+            if kv_quant is not None:
+                k8, ks_new, v8, vs_new = kv_quant
+            else:
+                k8, ks_new = _quantize_kv(k_new)      # [B,KV,D] + [B,KV]
+                v8, vs_new = _quantize_kv(v_new)
             kv_pad = ksc.shape[2]
             stage_mb = 2 * (kv * tables.shape[2] * tps * TILE * 2
                             * cfg.d_head
@@ -843,19 +905,41 @@ def _decode_hidden(iw: InferenceWeights, tokens: jax.Array,
         bp, lix = inp
         if use_front:
             from spt_proto_tpu.ops.pallas.decode_front import decode_front
-            qf, kf, vf, c_new, tables = decode_front(
-                x[:, 0], bp['norm1']['scale'], bp['norm1']['bias'],
-                bp['mha']['qkv']['kernel'], bp['mha']['qkv']['bias'],
-                bp['mha']['quantizer_bd'], bp['mha']['quantizer_cbn'],
+            bmha = bp['mha']
+            if front_w == 'stack':
+                w_in = bmha['qkv']['kernel']
+                b_in = bmha['qkv'].get('bias')
+            else:
+                w_in = (bmha['q']['kernel'], bmha['k']['kernel'],
+                        bmha['v']['kernel'])
+                b_in = None
+                if 'bias' in bmha['q']:     # GQA+bias: ragged part stack
+                    b_in = [bmha['q']['bias'], bmha['k']['bias'],
+                            bmha['v']['bias']]
+                    wmax = max(t.shape[-1] for t in b_in)
+                    b_in = jnp.stack([
+                        jnp.pad(t, (0, wmax - t.shape[-1])) for t in b_in])
+            out = decode_front(
+                x[:, 0], bp['norm1']['scale'],
+                bp['norm1'].get('bias'), w_in, b_in,
+                bmha['quantizer_bd'], bmha['quantizer_cbn'],
                 cc, pos, jnp.full((1,), lix * nt, jnp.int32),
-                nt=nt, nsel=nsel, ps=TILE)
+                cos_b, sin_b, nt=nt, nsel=nsel, n_sub=cfg.n_subspaces,
+                ps=TILE, eps=1e-6 if cfg.arch == 'llama' else 1e-5,
+                arch=cfg.arch, quantized=quantized)
+            qf, kf, vf, c_new, tables = out[:5]
             q4 = qf.reshape(b, kv, g, cfg.d_head)
             k_new = kf.reshape(b, kv, cfg.d_head)
             v_new = vf.reshape(b, kv, cfg.d_head)
+            kvq = None
+            if quantized:
+                k8, v8, ksn, vsn = out[5:]
+                kvq = (k8.reshape(b, kv, cfg.d_head), ksn,
+                       v8.reshape(b, kv, cfg.d_head), vsn)
             n_tiles = jnp.full((b,), nsel, jnp.int32)
             return _attend(carry, bp, lix, q4, k_new, v_new, c_new,
                            tables, n_tiles, tps=1,
-                           clamp=cfg.score_clamp)
+                           clamp=cfg.score_clamp, kv_quant=kvq)
         hn = _norm(cfg, bp['norm1'], x)
         q, k, v = _qkv_proj(bp['mha'], hn)
         q4 = q.reshape(b, kv, g, cfg.d_head)              # [B, KV, G, D]
@@ -868,11 +952,14 @@ def _decode_hidden(iw: InferenceWeights, tokens: jax.Array,
             k_new = _apply_rope_1(k_new[:, :, None], pos[:, None],
                                   cfg.rope_base)[:, :, 0]
         if sparse:
+            bd_m = _bd_of(bp['mha'])
             codes_q = _encode_codes(cfg, bp['mha']['quantizer'],
-                                    q4.reshape(b, kv * g, cfg.d_head))
+                                    q4.reshape(b, kv * g, cfg.d_head),
+                                    bd=bd_m)
             codes_q = codes_q.reshape(b, kv, g, -1)
             c_new = _fit_codes(
-                _encode_codes(cfg, bp['mha']['quantizer'], k_new),
+                _encode_codes(cfg, bp['mha']['quantizer'], k_new,
+                              bd=bd_m),
                 cc.shape[3])
             # per-layer code tiles [B, KV, NT, w, T]; match over the TRUE
             # subspaces only (stored width may be padded, KVCache note)
@@ -1084,10 +1171,13 @@ def verify_step(iw: InferenceWeights, tokens: jax.Array,
             q = _apply_rope_1(q, wpos, cfg.rope_base)
             k_new = _apply_rope_1(k_new, wpos, cfg.rope_base)
         if sparse:
+            bd_m = _bd_of(bp['mha'])
             codes_q = _encode_codes(cfg, bp['mha']['quantizer'],
-                                    q.reshape(b, kv, g, kk, dh))
+                                    q.reshape(b, kv, g, kk, dh),
+                                    bd=bd_m)
             c_new = _fit_codes(
-                _encode_codes(cfg, bp['mha']['quantizer'], k_new),
+                _encode_codes(cfg, bp['mha']['quantizer'], k_new,
+                              bd=bd_m),
                 cc.shape[3])
             c_li = insert_cols(
                 jax.lax.dynamic_slice(cc, (0, 0, lix * nt, 0, 0),
@@ -1345,6 +1435,23 @@ def generate(iw: InferenceWeights, prompts: jax.Array, max_new_tokens: int,
     first token is sampled at each row's own last-prompt-token logits.
     Generated tokens still land at out[:, S_prompt + i] for every row.
     """
+    import contextlib
+    tp_ctx = contextlib.nullcontext()
+    if mesh is not None and iw.cfg.tp_overlap:
+        from spt_proto_tpu.parallel.overlap import tp_mesh
+        tp_ctx = tp_mesh(mesh)
+    with tp_ctx:
+        return _generate_impl(
+            iw, prompts, max_new_tokens, max_len=max_len,
+            temperature=temperature, top_k=top_k, top_p=top_p, rng=rng,
+            eos_id=eos_id, lengths=lengths, quantized_kv=quantized_kv,
+            mesh=mesh)
+
+
+def _generate_impl(iw: InferenceWeights, prompts: jax.Array,
+                   max_new_tokens: int, *, max_len, temperature, top_k,
+                   top_p, rng, eos_id, lengths, quantized_kv,
+                   mesh) -> jax.Array:
     b, s0 = prompts.shape
     limit = max_len or (s0 + max_new_tokens)
     # start at the smallest bucket that fits the prompt; grow as decoding

@@ -424,10 +424,13 @@ def paged_decode_step(iw: InferenceWeights, tokens: jax.Array,
                              lix * n_log + cache.page_indices, sink)
         if sparse:
             qg = q.reshape(b, kv, g, cfg.d_head)
+            from spt_proto_tpu.inference.engine import _bd_of
+            bd_m = _bd_of(bp['mha'])
             codes_q = _encode_codes(cfg, bp['mha']['quantizer'],
-                                    q.reshape(b, kv * g, cfg.d_head))
+                                    q.reshape(b, kv * g, cfg.d_head),
+                                    bd=bd_m)
             codes_q = codes_q.reshape(b, kv, g, -1)
-            c_new = _encode_codes(cfg, bp['mha']['quantizer'], k)
+            c_new = _encode_codes(cfg, bp['mha']['quantizer'], k, bd=bd_m)
             c_pages = c_pages.at[
                 hidx, write_page[None, :], slot_in_page].set(
                     c_new.transpose(1, 0, 2).astype(c_pages.dtype))

@@ -27,6 +27,19 @@ def _activation(cfg: ModelConfig):
     return jax.nn.relu if cfg.arch == 'opt' else jax.nn.silu
 
 
+def _tp_overlap_active(cfg: ModelConfig, x, deterministic: bool = True
+                       ) -> bool:
+    """cfg.tp_overlap takes effect when a parallel.overlap.tp_mesh
+    context is active at trace time, the FFN is plain dense (no LoRA,
+    no dropout in play), and the ring's row dim divides the axis."""
+    if not cfg.tp_overlap or cfg.d_lora or \
+            (cfg.p_dropout > 0.0 and not deterministic):
+        return False
+    from spt_proto_tpu.parallel.overlap import current_tp_mesh
+    tp = current_tp_mesh()
+    return tp is not None and x.shape[-2] % tp[0].shape[tp[1]] == 0
+
+
 class DenseParams(nn.Module):
     """Declares LoRADense-compatible params and returns them raw.
 
@@ -67,6 +80,20 @@ class Feedforward(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         act = _activation(cfg)
+        if _tp_overlap_active(cfg, x, self.deterministic):
+            from spt_proto_tpu.parallel.overlap import (
+                current_tp_mesh, tp_ffn_overlapped_biased)
+            p1 = DenseParams(cfg.d_model, cfg.d_feedforward,
+                             param_dtype=cfg.param_dtype, name='fc1')()
+            p2 = DenseParams(cfg.d_feedforward, cfg.d_model,
+                             param_dtype=cfg.param_dtype, name='fc2')()
+            mesh, ax = current_tp_mesh()
+            return tp_ffn_overlapped_biased(
+                x.astype(cfg.dtype), p1['kernel'].astype(cfg.dtype),
+                p1['bias'].astype(cfg.dtype),
+                p2['kernel'].astype(cfg.dtype),
+                p2['bias'].astype(cfg.dtype), mesh=mesh, axis_name=ax,
+                act=act).astype(cfg.dtype)
         h = LoRADense(cfg.d_feedforward, use_bias=True, d_lora=cfg.d_lora,
                       dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                       name='fc1')(x)
@@ -88,6 +115,21 @@ class GatedFeedforward(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         act = _activation(cfg)
+        if _tp_overlap_active(cfg, x, self.deterministic):
+            from spt_proto_tpu.parallel.overlap import (
+                current_tp_mesh, tp_ffn_overlapped_gated)
+            ps = {n: DenseParams(
+                cfg.d_model if n != 'down' else cfg.d_feedforward,
+                cfg.d_feedforward if n != 'down' else cfg.d_model,
+                use_bias=False, param_dtype=cfg.param_dtype, name=n)()
+                for n in ('gate', 'side', 'down')}
+            mesh, ax = current_tp_mesh()
+            return tp_ffn_overlapped_gated(
+                x.astype(cfg.dtype),
+                ps['gate']['kernel'].astype(cfg.dtype),
+                ps['side']['kernel'].astype(cfg.dtype),
+                ps['down']['kernel'].astype(cfg.dtype), mesh=mesh,
+                axis_name=ax, act=act).astype(cfg.dtype)
         mk = lambda feats, name: LoRADense(
             feats, use_bias=False, d_lora=cfg.d_lora, dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, name=name)

@@ -43,6 +43,31 @@ def cache_shardings(mesh: Mesh, cache: KVCache,
         length=NamedSharding(mesh, P(batch_axis)), **scales)
 
 
+def shard_paged_cache(mesh: Mesh, cache):
+    """TP sharding for the paged cache (inference/paged.py): the page
+    pools [KV, L*P+1, ps, .] shard their HEAD axis on 'model' (pages are
+    not slot-major, so the 'data' axis has nothing to shard); page
+    tables and lengths replicate (they are host-maintained scheduler
+    state). Attention never crosses heads, so paged decode runs
+    collective-free up to the o-projection psum, same as contiguous."""
+    from spt_proto_tpu.inference.paged import PagedKVCache
+    kv = cache.k_pages.shape[0]
+    head = 'model' if kv % mesh.shape['model'] == 0 else None
+    pool = NamedSharding(mesh, P(head, None, None, None))
+    rep1 = NamedSharding(mesh, P(None))
+    rep2 = NamedSharding(mesh, P(None, None))
+    scales = dict()
+    if cache.quantized:
+        scales = dict(k_scales=jax.device_put(cache.k_scales, pool),
+                      v_scales=jax.device_put(cache.v_scales, pool))
+    return PagedKVCache(
+        k_pages=jax.device_put(cache.k_pages, pool),
+        v_pages=jax.device_put(cache.v_pages, pool),
+        c_pages=jax.device_put(cache.c_pages, pool),
+        page_indices=jax.device_put(cache.page_indices, rep2),
+        length=jax.device_put(cache.length, rep1), **scales)
+
+
 def shard_cache(mesh: Mesh, cache: KVCache,
                 batch_axis: str = 'data') -> KVCache:
     if batch_axis == 'data' and \

@@ -27,6 +27,7 @@ the dual-stream backward (kernels/sddmm.py:36-50).
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional
 
@@ -95,6 +96,27 @@ def matmul_rs_local(x, w, *, axis_name: str):
         jnp.promote_types(x.dtype, w.dtype))
 
 
+_TP: list = []   # (mesh, axis) stack for the tp_overlap config flag
+
+
+@contextlib.contextmanager
+def tp_mesh(mesh: Mesh, axis: str = 'model'):
+    """Bind the mesh/axis that cfg.tp_overlap FFNs ring over. Must be
+    active while the step is TRACED (the mesh is baked into the jaxpr);
+    the context may end before execution — same contract as
+    ops.routed_ffn_ep.ep_mesh."""
+    _TP.append((mesh, axis))
+    try:
+        yield
+    finally:
+        _TP.pop()
+
+
+def current_tp_mesh():
+    """(mesh, axis) of the innermost tp_mesh context, or None."""
+    return _TP[-1] if _TP else None
+
+
 def tp_ffn_overlapped(x, w1, w2, *, mesh: Mesh, axis_name: str = 'model',
                       act=jax.nn.relu):
     """A TP FFN with manual overlap: h = act(x @ W1[:, shard]) stays
@@ -116,3 +138,46 @@ def tp_ffn_overlapped(x, w1, w2, *, mesh: Mesh, axis_name: str = 'model',
         body, mesh=mesh,
         in_specs=(P(), P(None, axis_name), P(axis_name, None)),
         out_specs=P(None, axis_name, None))(x, w1, w2)
+
+
+def _as3d(x):
+    return (x[None], True) if x.ndim == 2 else (x, False)
+
+
+def tp_ffn_overlapped_biased(x, w1, b1, w2, b2, *, mesh: Mesh,
+                             axis_name: str = 'model', act=jax.nn.relu):
+    """cfg.tp_overlap production form (OPT dense FFN): y = act(x@W1+b1)@W2
+    + b2 with the second matmul's reduce ring-overlapped. x [.., M, K]
+    replicated (M % n == 0); w1 [K, F] / b1 [F] sharded on axis; w2
+    [F, K] sharded on its input dim; b2 replicated."""
+    x3, squeeze = _as3d(x)
+
+    def body(xl, w1l, b1l, w2l):
+        h = act(jnp.einsum('...mk,kf->...mf', xl, w1l) + b1l)
+        return matmul_rs_local(h, w2l, axis_name=axis_name)
+
+    y = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(None, axis_name), P(axis_name), P(axis_name, None)),
+        out_specs=P(None, axis_name, None))(x3, w1, b1, w2)
+    y = y + b2
+    return y[0] if squeeze else y
+
+
+def tp_ffn_overlapped_gated(x, wg, ws, wd, *, mesh: Mesh,
+                            axis_name: str = 'model', act=jax.nn.silu):
+    """cfg.tp_overlap production form (LLaMA SwiGLU): y =
+    (act(x@Wg) * (x@Ws)) @ Wd with the down-projection ring-overlapped."""
+    x3, squeeze = _as3d(x)
+
+    def body(xl, wgl, wsl, wdl):
+        h = act(jnp.einsum('...mk,kf->...mf', xl, wgl)) \
+            * jnp.einsum('...mk,kf->...mf', xl, wsl)
+        return matmul_rs_local(h, wdl, axis_name=axis_name)
+
+    y = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(None, axis_name), P(None, axis_name),
+                  P(axis_name, None)),
+        out_specs=P(None, axis_name, None))(x3, wg, ws, wd)
+    return y[0] if squeeze else y

@@ -11,13 +11,14 @@ from spt_proto_tpu.inference.weights import InferenceWeights
 from spt_proto_tpu.tuning import surgery
 
 
-def sparse_model(d_model=128, n_heads=2, seed=0):
-    """Tiny OPT sparse_v2 model inside the fused-front envelope:
-    MHA, l2 metric, n_subspaces = d_head/8 <= 8."""
-    cfg = tiny_config('opt', d_model=d_model, n_heads=n_heads,
+def sparse_model(d_model=128, n_heads=2, seed=0, arch='opt', **kw):
+    """Tiny sparse_v2 model inside the fused-front envelope (l2 metric,
+    per-head selection). kw reaches tiny_config (e.g. n_kv_heads for
+    GQA, d_codeword for wide-code models)."""
+    cfg = tiny_config(arch, d_model=d_model, n_heads=n_heads,
                       d_feedforward=256, vocab_size=256,
-                      max_length=512).replace(dtype=jnp.float32,
-                                              pq_metric='l2')
+                      max_length=512, **kw).replace(dtype=jnp.float32,
+                                                    pq_metric='l2')
     params = surgery.init_params(cfg, jax.random.PRNGKey(seed))
     cfg, params = surgery.upgrade(cfg, params, 'mha_v1',
                                   jax.random.PRNGKey(seed + 1))
@@ -67,7 +68,7 @@ def test_front_kernel_matches_jnp_path():
         bp['mha']['qkv']['kernel'], bp['mha']['qkv']['bias'],
         bp['mha']['quantizer_bd'], bp['mha']['quantizer_cbn'],
         cache.codes, pos, jnp.full((1,), lix * nt, jnp.int32),
-        nt=nt, nsel=nsel, ps=TILE)
+        nt=nt, nsel=nsel, n_sub=cfg.n_subspaces, ps=TILE)
 
     # ---- jnp reference (decode_step's unfused path)
     kv = cfg.kv_heads
@@ -115,6 +116,9 @@ def test_generate_fused_front_matches_unfused():
 
 
 def test_generate_fused_front_int8_kv_matches_unfused():
+    """Also exercises the IN-KERNEL int8 KV quantization (v2): the fused
+    path emits k8/v8/scales from the kernel while the unfused path runs
+    engine._quantize_kv — tokens must still match exactly."""
     cfg, params = sparse_model()
     iw_f = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
     iw_u = InferenceWeights.from_params(
@@ -125,4 +129,51 @@ def test_generate_fused_front_int8_kv_matches_unfused():
                                 quantized_kv=True))
     out_u = np.asarray(generate(iw_u, p, 8, max_len=256,
                                 quantized_kv=True))
+    np.testing.assert_array_equal(out_f, out_u)
+
+
+def test_generate_fused_front_llama_rope_matches_unfused():
+    """v2 envelope: LLaMA (RMSNorm + in-kernel RoPE rotation via the
+    rotate-half matmul). Token parity incl. the int8-KV fused quantize."""
+    cfg, params = sparse_model(arch='llama')
+    iw_f = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    iw_u = InferenceWeights.from_params(
+        cfg.replace(decode_fused_front=False), params, dtype=jnp.float32)
+    p = jax.random.randint(jax.random.PRNGKey(7), (2, 200), 0,
+                           cfg.vocab_size)
+    for q in (False, True):
+        out_f = np.asarray(generate(iw_f, p, 8, max_len=256,
+                                    quantized_kv=q))
+        out_u = np.asarray(generate(iw_u, p, 8, max_len=256,
+                                    quantized_kv=q))
+        np.testing.assert_array_equal(out_f, out_u)
+
+
+def test_generate_fused_front_gqa_matches_unfused():
+    """v2 envelope: GQA (separate q/k/v projections, group-pooled match
+    scores in-kernel)."""
+    cfg, params = sparse_model(arch='llama', d_model=256, n_heads=4,
+                               n_kv_heads=2)
+    iw_f = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    iw_u = InferenceWeights.from_params(
+        cfg.replace(decode_fused_front=False), params, dtype=jnp.float32)
+    p = jax.random.randint(jax.random.PRNGKey(8), (2, 200), 0,
+                           cfg.vocab_size)
+    out_f = np.asarray(generate(iw_f, p, 8, max_len=256))
+    out_u = np.asarray(generate(iw_u, p, 8, max_len=256))
+    np.testing.assert_array_equal(out_f, out_u)
+
+
+def test_generate_fused_front_padded_code_width():
+    """v2 envelope: n_subspaces = 10 (d_head 80) — the 2.7B shape whose
+    stored code width is sublane-padded to 16 with -2 columns."""
+    cfg, params = sparse_model(d_model=640, n_heads=8)
+    assert cfg.n_subspaces == 10
+    iw_f = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    iw_u = InferenceWeights.from_params(
+        cfg.replace(decode_fused_front=False), params, dtype=jnp.float32)
+    p = jax.random.randint(jax.random.PRNGKey(9), (2, 200), 0,
+                           cfg.vocab_size)
+    out_f = np.asarray(generate(iw_f, p, 6, max_len=256))
+    out_u = np.asarray(generate(iw_u, p, 6, max_len=256))
     np.testing.assert_array_equal(out_f, out_u)

@@ -109,6 +109,72 @@ def test_engine_mesh_matches_single_device(attention):
     assert ref == got, (ref, got)
 
 
+@pytest.mark.parametrize('attention', ['dense', 'sparse_v2'])
+def test_engine_paged_mesh_matches_single_device(attention):
+    """Paged cache x TP mesh: the page pools shard their head axis on
+    'model' (shard_paged_cache); completions must be token-for-token
+    identical to the unsharded paged engine, including lazy page growth
+    (the 13B-rung composition VERDICT r4 flags as untested)."""
+    from spt_proto_tpu.inference.batching import ContinuousBatchingEngine
+    kw = {}
+    if attention == 'sparse_v2':
+        kw = dict(attention='sparse_v2', d_codeword=4, n_codewords=8,
+                  sparse_coeff=4)
+    cfg = tiny_config('opt', **kw).replace(dtype=jnp.float32)
+    cfg.validate()
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    rng = np.random.RandomState(6)
+    prompts = [list(map(int, rng.randint(1, cfg.vocab_size, size=n)))
+               for n in (5, 9, 3)]
+
+    def run(mesh):
+        eng = ContinuousBatchingEngine(iw, n_slots=2, max_len=64,
+                                       prefill_bucket=16, paged=True,
+                                       page_size=16, mesh=mesh)
+        rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+        done = {c.request_id: c.tokens for c in eng.run_until_done()}
+        return [done[r] for r in rids]
+
+    ref = run(None)
+    got = run(make_mesh(2, 4))
+    assert ref == got, (ref, got)
+
+
+@pytest.mark.parametrize('attention', ['dense', 'sparse_v2'])
+def test_engine_speculative_mesh_matches_single_device(attention):
+    """Speculative (n-gram propose + block verify) x TP mesh: lossless
+    greedy completions must match the unsharded speculative engine
+    (the other 13B-rung composition VERDICT r4 flags as untested)."""
+    from spt_proto_tpu.inference.batching import ContinuousBatchingEngine
+    kw = {}
+    if attention == 'sparse_v2':
+        kw = dict(attention='sparse_v2', d_codeword=4, n_codewords=8,
+                  sparse_coeff=4)
+    cfg = tiny_config('opt', **kw).replace(dtype=jnp.float32)
+    cfg.validate()
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    iw = InferenceWeights.from_params(cfg, params, dtype=jnp.float32)
+    rng = np.random.RandomState(7)
+    base = list(map(int, rng.randint(1, cfg.vocab_size, size=4)))
+    # repetitive prompts so n-gram proposals actually get accepted
+    prompts = [base * 3, base * 2, list(map(
+        int, rng.randint(1, cfg.vocab_size, size=5)))]
+
+    def run(mesh):
+        eng = ContinuousBatchingEngine(iw, n_slots=2, max_len=64,
+                                       prefill_bucket=16, speculative=3,
+                                       mesh=mesh)
+        rids = [eng.submit(p, max_new_tokens=8) for p in prompts]
+        done = {c.request_id: c.tokens for c in eng.run_until_done()}
+        return [done[r] for r in rids], dict(eng.spec_stats)
+
+    ref, st_ref = run(None)
+    got, st_got = run(make_mesh(2, 4))
+    assert ref == got, (ref, got)
+    assert st_ref == st_got, (st_ref, st_got)
+
+
 def test_generate_mesh_fused_front_matches_single_device():
     """The fused decode-front/tail/lm_head kernels under the TP mesh
     (GSPMD partitioning of pallas_call): token-for-token identical to

