@@ -62,6 +62,11 @@ def main(argv=None):
                    help='expert-parallel routed FFN: tokens+blocks shard '
                         "over 'data', all_to_all dispatch "
                         '(ops/routed_ffn_ep.py)')
+    p.add_argument('--int8_base', action='store_true',
+                   help='QLoRA-shape: freeze the base kernels as int8 in '
+                        'HBM (streamed through the fused-dequant matmul '
+                        'in both passes) — fits LLaMA-7B SPT tuning on '
+                        'one 16 GB chip (surgery.split_int8_base)')
     p.add_argument('--stages', type=str,
                    default='lora,ffn,mha_v1,mha_v2',
                    help='comma-separated upgrade stages to apply')
@@ -85,6 +90,10 @@ def main(argv=None):
         cfg = cfg.replace(remat=True)
     if jax.default_backend() == 'tpu':
         cfg = cfg.replace(attn_impl='pallas')
+    frozen8 = None
+    if args.int8_base:
+        cfg, params, frozen8 = surgery.split_int8_base(cfg, params,
+                                                       staged=True)
     cfg.validate()
 
     mesh = None
@@ -133,7 +142,7 @@ def main(argv=None):
     params, history = train_loop(
         cfg, params, batches, lr=args.lr, weight_decay=args.weight_decay,
         max_steps=args.steps, log_every=10, log_fn=log, mesh=mesh,
-        fsdp=args.fsdp,
+        fsdp=args.fsdp, frozen8=frozen8,
         pp_micro=args.pp_micro if args.mesh_pipe > 1 else None,
         accumulate=args.accumulate,
         checkpoint_dir=args.out + '-trainstate',

@@ -113,6 +113,16 @@ class ModelConfig:
     # active ops.routed_ffn_ep.ep_mesh(...) context at trace time)
     ffn_impl: str = 'masked'
     remat: bool = False              # rematerialize blocks (training memory)
+    # QLoRA-shape training: the FROZEN base kernels (attention q/k/v/o and
+    # the FFN matrices) live as int8 + per-output-channel scales in a
+    # separate 'frozen8' flax collection, streamed through
+    # ops/pallas/int8_matmul.int8_frozen_matmul in BOTH passes (custom
+    # VJP: dx reuses the same int8 tiles via the transposed kernel). This
+    # is what fits LLaMA-7B SPT fine-tuning on one 16 GB chip (bf16 base
+    # alone is 13.5 GB). Build the split trees with
+    # tuning/surgery.py::split_int8_base; trainables (LoRA/router/
+    # codebook) stay fp in 'params'.
+    int8_base: bool = False
     # remat policy: 'full' recomputes everything in the backward pass
     # (minimum memory); 'dots' saves every matmul output (XLA's
     # checkpoint_dots policy) — the backward then recomputes only cheap

@@ -34,7 +34,8 @@ class MultiheadAttention(nn.Module):
         cfg = self.cfg
         dense = lambda name, feats: LoRADense(
             features=feats, use_bias=cfg.attn_bias, d_lora=cfg.d_lora,
-            dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name)
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            int8_base=cfg.int8_base, name=name)
         kv_feats = cfg.kv_heads * cfg.d_head
         self.linear_q = dense('q', cfg.d_model)
         self.linear_k = dense('k', kv_feats)

@@ -67,13 +67,29 @@ class LoRADense(nn.Module):
     d_lora: Optional[int] = None
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # int8-frozen base (cfg.int8_base): the kernel is NOT a param — it is
+    # read from the 'frozen8' collection as {'q' int8, 'scale' f32} and
+    # applied via the fused-dequant matmul with a custom VJP (dx streams
+    # the same int8 tiles; no bf16 copy of the base ever exists)
+    int8_base: bool = False
 
     @nn.compact
     def __call__(self, x):
         in_features = x.shape[-1]
-        kernel = self.param('kernel', nn.initializers.lecun_normal(),
-                            (in_features, self.features), self.param_dtype)
-        y = jnp.dot(x, kernel.astype(self.dtype))
+        if self.int8_base:
+            assert self.has_variable('frozen8', 'kernel'), \
+                'int8_base model applied without the frozen8 collection ' \
+                '(build it with tuning.surgery.split_int8_base)'
+            from spt_proto_tpu.ops.pallas.int8_matmul import \
+                int8_frozen_matmul
+            q8 = self.get_variable('frozen8', 'kernel')
+            y = int8_frozen_matmul(x.astype(self.dtype), q8['q'],
+                                   q8['scale'].reshape(-1))
+        else:
+            kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                                (in_features, self.features),
+                                self.param_dtype)
+            y = jnp.dot(x, kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param('bias', nn.initializers.zeros,
                               (self.features,), self.param_dtype)

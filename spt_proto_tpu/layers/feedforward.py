@@ -52,12 +52,19 @@ class DenseParams(nn.Module):
     use_bias: bool = True
     d_lora: Optional[int] = None
     param_dtype: Any = jnp.float32
+    int8_base: bool = False   # kernel lives int8 in the 'frozen8' collection
 
     @nn.compact
     def __call__(self):
-        out = {'kernel': self.param('kernel', nn.initializers.lecun_normal(),
-                                    (self.in_features, self.features),
-                                    self.param_dtype)}
+        if self.int8_base:
+            assert self.has_variable('frozen8', 'kernel'), \
+                'int8_base model applied without the frozen8 collection'
+            out = {'kernel_q8': self.get_variable('frozen8', 'kernel')}
+        else:
+            out = {'kernel': self.param('kernel',
+                                        nn.initializers.lecun_normal(),
+                                        (self.in_features, self.features),
+                                        self.param_dtype)}
         if self.use_bias:
             out['bias'] = self.param('bias', nn.initializers.zeros,
                                      (self.features,), self.param_dtype)
@@ -96,13 +103,13 @@ class Feedforward(nn.Module):
                 act=act).astype(cfg.dtype)
         h = LoRADense(cfg.d_feedforward, use_bias=True, d_lora=cfg.d_lora,
                       dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                      name='fc1')(x)
+                      int8_base=cfg.int8_base, name='fc1')(x)
         if cfg.p_dropout > 0.0 and not self.deterministic:
             h = nn.Dropout(rate=cfg.p_dropout)(h, deterministic=False)
         h = act(h)
         return LoRADense(cfg.d_model, use_bias=True, d_lora=cfg.d_lora,
                          dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                         name='fc2')(h)
+                         int8_base=cfg.int8_base, name='fc2')(h)
 
 
 class GatedFeedforward(nn.Module):
@@ -132,7 +139,8 @@ class GatedFeedforward(nn.Module):
                 axis_name=ax, act=act).astype(cfg.dtype)
         mk = lambda feats, name: LoRADense(
             feats, use_bias=False, d_lora=cfg.d_lora, dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype, name=name)
+            param_dtype=cfg.param_dtype, int8_base=cfg.int8_base,
+            name=name)
         g = mk(cfg.d_feedforward, 'gate')(x)
         s = mk(cfg.d_feedforward, 'side')(x)
         return mk(cfg.d_model, 'down')(act(g) * s)
@@ -184,13 +192,34 @@ class RoutedFeedforward(nn.Module):
                      param_dtype=cfg.param_dtype, name='router')(xf))
         p1 = DenseParams(cfg.d_model, cfg.d_feedforward, use_bias=True,
                          d_lora=cfg.d_lora, param_dtype=cfg.param_dtype,
-                         name='fc1')()
+                         int8_base=cfg.int8_base, name='fc1')()
         p2 = DenseParams(cfg.d_feedforward, cfg.d_model, use_bias=True,
                          d_lora=cfg.d_lora, param_dtype=cfg.param_dtype,
-                         name='fc2')()
-        v = _block_views(cfg, p1, p2)
+                         int8_base=cfg.int8_base, name='fc2')()
         cast = lambda t: t.astype(cfg.dtype)
         top_k = cfg.ffn_active_blocks
+        if cfg.int8_base:
+            # frozen int8 base path (masked-dispatch math; the flat int8
+            # matmuls ARE the block einsums — routed_ffn.py int8 notes)
+            assert cfg.ffn_impl in ('masked', 'gmm'), \
+                'int8_base routed FFN uses the masked-dispatch form'
+            nb, bs = cfg.n_ffn_blocks, cfg.ffn_block_size
+            b1v = cast(p1['bias'].reshape(nb, bs))
+            if cfg.d_lora:
+                r = cfg.d_lora
+                y = rops.routed_ffn_lora_int8(
+                    xf, probs, top_k, p1['kernel_q8'], b1v,
+                    p2['kernel_q8'], cast(p2['bias']),
+                    cast(p1['lora_left']),
+                    cast(p1['lora_right'].reshape(nb, bs, r)),
+                    cast(p2['lora_left'].reshape(nb, bs, r)),
+                    cast(p2['lora_right']), act)
+            else:
+                y = rops.routed_ffn_masked_int8(
+                    xf, probs, top_k, p1['kernel_q8'], b1v,
+                    p2['kernel_q8'], cast(p2['bias']), act)
+            return y.reshape(*lead, cfg.d_model)
+        v = _block_views(cfg, p1, p2)
         use_gmm = cfg.ffn_impl == 'gmm' and xf.shape[0] >= 128
         if cfg.ffn_impl == 'ep':
             # expert parallelism: blocks + tokens sharded over one mesh
@@ -252,12 +281,33 @@ class RoutedGatedFeedforward(nn.Module):
                      name='router')(xf))
         mk = lambda i, o, name: DenseParams(
             i, o, use_bias=False, d_lora=cfg.d_lora,
-            param_dtype=cfg.param_dtype, name=name)()
+            param_dtype=cfg.param_dtype, int8_base=cfg.int8_base,
+            name=name)()
         pg = mk(cfg.d_model, cfg.d_feedforward, 'gate')
         ps = mk(cfg.d_model, cfg.d_feedforward, 'side')
         pd = mk(cfg.d_feedforward, cfg.d_model, 'down')
         d = cfg.d_model
         cast = lambda t: t.astype(cfg.dtype)
+        if cfg.int8_base:
+            assert cfg.ffn_impl in ('masked', 'gmm'), \
+                'int8_base routed FFN uses the masked-dispatch form'
+            if cfg.d_lora:
+                r = cfg.d_lora
+                y = rops.routed_ffn_gated_lora_int8(
+                    xf, probs, cfg.ffn_top_k or max(1, n // 2),
+                    pg['kernel_q8'], ps['kernel_q8'], pd['kernel_q8'],
+                    cast(pg['lora_left']),
+                    cast(pg['lora_right'].reshape(n, bs, r)),
+                    cast(ps['lora_left']),
+                    cast(ps['lora_right'].reshape(n, bs, r)),
+                    cast(pd['lora_left'].reshape(n, bs, r)),
+                    cast(pd['lora_right']), act)
+            else:
+                y = rops.routed_ffn_gated_masked_int8(
+                    xf, probs, cfg.ffn_top_k or max(1, n // 4),
+                    pg['kernel_q8'], ps['kernel_q8'], pd['kernel_q8'],
+                    act, n)
+            return y.reshape(*lead, cfg.d_model)
         w_gate = cast(pg['kernel'].reshape(d, n, bs).transpose(1, 0, 2))
         w_side = cast(ps['kernel'].reshape(d, n, bs).transpose(1, 0, 2))
         w_down = cast(pd['kernel'].reshape(n, bs, d))

@@ -65,9 +65,13 @@ class DecoderLM(nn.Module):
                                  prevent_cse=False,
                                  policy=policy,
                                  static_argnums=())
+        vaxes = {'params': 0}
+        if cfg.int8_base:
+            # frozen int8 base kernels are stacked [n_layers, ...] too
+            vaxes['frozen8'] = 0
         blocks = nn.scan(
             block_cls,
-            variable_axes={'params': 0},
+            variable_axes=vaxes,
             split_rngs={'params': True, 'dropout': True},
             length=cfg.n_layers,
             metadata_params={nn.PARTITION_NAME: 'layers'},

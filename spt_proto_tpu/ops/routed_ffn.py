@@ -296,3 +296,78 @@ def routed_ffn_gather(x: jax.Array, probs: jax.Array, top_k: int,
     y = jnp.zeros((t + 1, d_model), x.dtype)
     y = y.at[token_idx.reshape(-1)].add(yg.reshape(-1, d_model))
     return y[:t] + b2
+
+
+# ---------------------------------------------------------------------------
+# int8-frozen-base variants (cfg.int8_base QLoRA-shape training)
+# ---------------------------------------------------------------------------
+# The base FFN matrices stay int8 in HBM through BOTH passes
+# (ops/pallas/int8_matmul.int8_frozen_matmul: fused-dequant forward +
+# transposed-int8 dx). The math is the flat form of the masked variants:
+# einsum('td,ndh->tnh', x, w1) == (x @ W1_flat).reshape(t, n, h) because
+# the canonical weight storage is the DENSE layout (fc1 [d, d_ff]) whose
+# contiguous d_ff slices are the blocks — so the frozen8 leaves are just
+# quantize_int8 of the original kernels, identical to the attention ones.
+
+def _ifm(x, q8):
+    from spt_proto_tpu.ops.pallas.int8_matmul import int8_frozen_matmul
+    return int8_frozen_matmul(x, q8['q'], q8['scale'].reshape(-1)
+                              ).astype(x.dtype)
+
+
+def routed_ffn_masked_int8(x, probs, top_k, w1q8, b1, w2q8, b2,
+                           activation):
+    """routed_ffn_masked with int8-frozen base weights.
+    w1q8 = quantize_int8(fc1 [d, d_ff]); w2q8 = quantize_int8(fc2
+    [d_ff, d]); b1 [n, bs]."""
+    t = x.shape[0]
+    n, bs = b1.shape
+    gates = router_gates(probs, top_k).astype(x.dtype)
+    h = _ifm(x, w1q8).reshape(t, n, bs) + b1
+    h = activation(h)
+    y = _ifm((h * gates[..., None]).reshape(t, n * bs), w2q8)
+    return y + b2
+
+
+def routed_ffn_lora_int8(x, probs, top_k, w1q8, b1, w2q8, b2,
+                         lora_left1, lora_right1, lora_left2, lora_right2,
+                         activation):
+    """routed_ffn_lora (2*prob coeff on the frozen path) with int8 base."""
+    t = x.shape[0]
+    n, bs = b1.shape
+    gates = router_gates(probs, top_k).astype(x.dtype)
+    coeff = 2.0 * probs * gates
+    base_h = _ifm(x, w1q8).reshape(t, n, bs) + b1
+    lora_h = jnp.einsum('tr,nhr->tnh', x @ lora_left1, lora_right1)
+    h = activation(coeff[..., None] * base_h + lora_h) * gates[..., None]
+    y = _ifm((h * coeff[..., None]).reshape(t, n * bs), w2q8)
+    hl = jnp.einsum('tnh,nhr->tr', h, lora_left2)
+    return y + hl @ lora_right2.T + b2
+
+
+def routed_ffn_gated_masked_int8(x, probs, top_k, wgq8, wsq8, wdq8,
+                                 activation, n_blocks):
+    t = x.shape[0]
+    gates = router_gates(probs, top_k).astype(x.dtype)
+    n = n_blocks
+    hg = _ifm(x, wgq8).reshape(t, n, -1)
+    hs = _ifm(x, wsq8).reshape(t, n, -1)
+    h = activation(hg) * hs * gates[..., None]
+    return _ifm(h.reshape(t, -1), wdq8)
+
+
+def routed_ffn_gated_lora_int8(x, probs, top_k, wgq8, wsq8, wdq8,
+                               lora_left_g, lora_right_g,
+                               lora_left_s, lora_right_s,
+                               lora_left_d, lora_right_d, activation):
+    t = x.shape[0]
+    n = lora_right_g.shape[0]
+    gates = router_gates(probs, top_k).astype(x.dtype)
+    coeff = 2.0 * probs * gates
+    hg = coeff[..., None] * _ifm(x, wgq8).reshape(t, n, -1) + \
+        jnp.einsum('tr,nhr->tnh', x @ lora_left_g, lora_right_g)
+    hs = coeff[..., None] * _ifm(x, wsq8).reshape(t, n, -1) + \
+        jnp.einsum('tr,nhr->tnh', x @ lora_left_s, lora_right_s)
+    h = activation(hg) * hs * gates[..., None]
+    y = _ifm((h * coeff[..., None]).reshape(t, -1), wdq8)
+    return y + jnp.einsum('tnh,nhr->tr', h, lora_left_d) @ lora_right_d.T

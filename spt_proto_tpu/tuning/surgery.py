@@ -97,6 +97,54 @@ def flatten_paths_equal(cfg_a: ModelConfig, cfg_b: ModelConfig) -> bool:
     return shape_of(cfg_a) == shape_of(cfg_b)
 
 
+INT8_BASE_KERNELS = ('mha/q/kernel', 'mha/k/kernel', 'mha/v/kernel',
+                     'mha/o/kernel', 'ffn/fc1/kernel', 'ffn/fc2/kernel',
+                     'ffn/gate/kernel', 'ffn/side/kernel',
+                     'ffn/down/kernel')
+
+
+def split_int8_base(cfg: ModelConfig, params: Any,
+                    staged: bool = False) -> tuple[ModelConfig, Any, Any]:
+    """QLoRA-shape split: move the big frozen base kernels (attention
+    q/k/v/o + FFN matrices) out of the param tree into a 'frozen8'
+    collection as int8 + per-output-channel scales.
+
+    Returns (cfg with int8_base=True, params without those kernels,
+    frozen8 tree mirroring the flax scope paths). Embeddings, lm_head,
+    norms, biases, LoRA factors, router and PQ codebook stay fp in
+    `params` (frozen by the trainable mask as before; they are a tiny
+    fraction of the memory). With staged=True each kernel is quantized
+    through the device one leaf at a time with the fp input freed
+    immediately — the 7B bf16 tree is never device-resident at once
+    (same trick as InferenceWeights._from_params_staged_int8).
+
+    Ref context: the reference's raison d'etre is parameter-efficient
+    7B tuning (script/1-convert.py:202-206) but its frozen base stays
+    fp32/bf16 in HBM; this is the capability addition that fits
+    LLaMA-7B SPT fine-tuning on one 16 GB chip.
+    """
+    from spt_proto_tpu.inference.weights import quantize_int8
+    flat = flatten(params)
+    keep = {}
+    frozen = {}
+
+    def q8(leaf):
+        leaf = jnp.asarray(leaf)
+        out = jax.jit(lambda w: quantize_int8(w.astype(cfg.dtype)),
+                      donate_argnums=0)(leaf)
+        if staged:
+            jax.block_until_ready(out)
+        return out
+
+    for path, leaf in flat.items():
+        if any(path.endswith(suffix) for suffix in INT8_BASE_KERNELS):
+            frozen[path] = q8(leaf)
+        else:
+            keep[path] = leaf
+    return (cfg.replace(int8_base=True), unflatten(keep),
+            unflatten(frozen))
+
+
 def full_upgrade(cfg: ModelConfig, params: Any, rng: jax.Array,
                  d_lora: int = 16,
                  ffn_block_size: Optional[int] = None

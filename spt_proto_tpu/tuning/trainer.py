@@ -112,7 +112,8 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
                     aux_coeff: float = AUX_LOSS_COEFF,
                     dropout_rng: Optional[jax.Array] = None,
                     trainable: Optional[Any] = None,
-                    accumulate: int = 1):
+                    accumulate: int = 1,
+                    frozen8: Optional[Any] = None):
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch = {'inputs' [B,S] int32, 'targets' [B,S] int32,
@@ -161,7 +162,13 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
         rngs = None
         if use_dropout:
             rngs = {'dropout': jax.random.fold_in(base_rng, step)}
-        out = model.apply({'params': params}, batch['inputs'], rngs=rngs)
+        variables = {'params': params}
+        if frozen8 is not None:
+            # cfg.int8_base: the frozen int8 base kernels ride a separate
+            # collection (closed over => never differentiated, resident
+            # once as executable constants)
+            variables['frozen8'] = frozen8
+        out = model.apply(variables, batch['inputs'], rngs=rngs)
         ce = lm_loss(out['logits'], batch['targets'], batch.get('mask'))
         loss = ce + aux_coeff * out['pq_loss']
         return loss, {'ce': ce, 'pq_loss': out['pq_loss']}
@@ -398,7 +405,8 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
                resume: bool = False,
                mesh=None, fsdp: bool = False,
                pp_micro: Optional[int] = None,
-               accumulate: int = 1) -> tuple[Any, list]:
+               accumulate: int = 1,
+               frozen8: Optional[Any] = None) -> tuple[Any, list]:
     """Training loop. With `mesh`, params/batches are placed with the
     canonical shardings and the step is jitted over the mesh.
     freeze_base=False enables full fine-tuning (no trainable masking).
@@ -466,6 +474,9 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
     if accumulate > 1:
         assert not use_cp and not use_pp, \
             'accumulate composes with the plain/FSDP step only'
+    if frozen8 is not None:
+        assert not use_cp and not use_pp, \
+            'int8_base composes with the plain/FSDP step only'
     if use_cp:
         assert not use_pp and not fsdp, \
             'context parallelism composes with DP only (params replicated)'
@@ -478,7 +489,8 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
     else:
         mk = lambda tq: make_train_step(cfg, tx, trainable=trainable,
                                         train_quantizer=tq,
-                                        accumulate=accumulate)
+                                        accumulate=accumulate,
+                                        frozen8=frozen8)
     step_pq = jax.jit(mk(True), donate_argnums=(0,))
     step_fast = step_pq if pq_train_every == 1 else jax.jit(
         mk(False), donate_argnums=(0,))

@@ -69,7 +69,7 @@ def eval_acc(cfg, params, seed=99):
 # ---------------------------------------------------------------------------
 
 LR_NEEDLE, LR_SEQ = 256, 544
-LR_C1, LR_C2 = 14, 7
+LR_C1, LR_C2 = 28, 14
 LR_NVAL = 8                       # value vocab [0, 8); marker 8; fillers 9+
 
 
@@ -126,8 +126,8 @@ def test_long_range_gate_with_sensitivity():
     cfg = tiny_config('opt', vocab_size=64, max_length=LR_SEQ + 8,
                       d_codeword=2)
     params = surgery.init_params(cfg, jax.random.PRNGKey(0))
-    params, _ = train_loop(cfg, params, _voting_batches(cfg, 400), lr=3e-3,
-                           max_steps=400, log_every=100, freeze_base=False)
+    params, _ = train_loop(cfg, params, _voting_batches(cfg, 300), lr=3e-3,
+                           max_steps=300, log_every=100, freeze_base=False)
     dense_acc = _answer_acc(cfg, params)
     assert dense_acc >= 0.85, f'dense failed to learn the task: {dense_acc}'
 
@@ -148,7 +148,7 @@ def test_long_range_gate_with_sensitivity():
           f'(bar {bar:.3f})')
     assert tuned_acc >= bar, (tuned_acc, dense_acc)
 
-    # sensitivity 1 — starved budget must FAIL (budget 8 rows < 21
+    # sensitivity 1 — starved budget must FAIL (budget 8 rows < 42
     # needles: the majority estimate collapses to sampling noise)
     starved_acc = _answer_acc(cfg_s.replace(sparse_coeff=64), params_s)
     print(f'  starved (coeff=64): {starved_acc:.3f}')
