@@ -134,14 +134,20 @@ def test_long_range_gate_with_sensitivity():
     cfg_s, params_s = surgery.full_upgrade(cfg, params,
                                            jax.random.PRNGKey(1),
                                            d_lora=8, ffn_block_size=32)
+    # two-segment tuning with lr decay (the reference's ExponentialLR
+    # schedule in miniature): calibrated under the suite's
+    # default_matmul_precision='highest' to ratio 0.93-0.98
     params_s, _ = train_loop(cfg_s, params_s,
                              _voting_batches(cfg_s, 500, seed=1),
                              lr=3e-3, max_steps=500, log_every=100)
+    params_s, _ = train_loop(cfg_s, params_s,
+                             _voting_batches(cfg_s, 200, seed=2),
+                             lr=1e-3, max_steps=200, log_every=100)
     tuned_acc = _answer_acc(cfg_s, params_s)
-    # pass bar 0.92: calibrated tuned/dense ratio is 0.96 with run-to-run
-    # variance ~0.03; both failure modes sit below 0.70 (the 0.95
-    # north-star bar is enforced by the primary gate above, whose task
-    # recovery is near-exact)
+    # pass bar 0.92: calibrated tuned/dense ratio fluctuates 0.93-0.98;
+    # both failure modes sit below 0.75 (the 0.95 north-star bar is
+    # enforced by the primary gate above, whose task recovery is
+    # near-exact)
     bar = 0.92 * dense_acc
     fail_bar = 0.80 * dense_acc
     print(f'long-range gate: dense={dense_acc:.3f} tuned@8={tuned_acc:.3f} '
