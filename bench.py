@@ -79,7 +79,19 @@ def _bench_decode(cfg, params, batch: int, prompt_len: int, max_len: int,
     def run_steps(iw):
         return _decode_loop(iw, logits, cache, batch, steps)
     try:
-        return run_steps(iw)
+        try:
+            return run_steps(iw)
+        except Exception as e:
+            # transient tunnel/worker INTERNAL errors happen (memory:
+            # axon-tpu-benchmarking) — retry once before concluding the
+            # kernel path is at fault
+            import sys
+            import time as _t
+            print(f'WARNING: decode loop failed once '
+                  f'({type(e).__name__}: {e}); retrying after 90 s',
+                  file=sys.stderr)
+            _t.sleep(90)
+            return run_steps(iw)
     except Exception as e:
         # the multi-slot decode kernel is the default; if it fails to
         # compile/run on this backend, fall back to the per-slot grid
@@ -148,7 +160,13 @@ def main():
     if on_tpu:
         dcfg = opt_config('125m').replace(
             dtype=jnp.bfloat16, attn_impl='pallas', pq_metric='l2')
-        batch, prompt_len, steps = 8, 2048, 64
+        # 120 steps (max the 2048+128 cache allows): the tunnel adds
+        # ~25 ms of fixed dispatch+fetch per k_steps call — at 64 steps
+        # that inflated the per-step cost ~0.4 ms (round-5 trace:
+        # 1.0 ms/step device time vs 1.4 measured); 120 amortizes it to
+        # ~0.2 ms. Steady-state throughput, not harness latency, is the
+        # metric.
+        batch, prompt_len, steps = 8, 2048, 120
     else:
         dcfg = ModelConfig(arch='opt', d_model=256, n_heads=4, n_layers=2,
                            max_length=512, vocab_size=1024,
@@ -226,7 +244,7 @@ def main():
     }))
 
 
-def _bench_1p3b(batch: int = 8, ctx: int = 2048, steps: int = 24):
+def _bench_1p3b(batch: int = 8, ctx: int = 2048, steps: int = 96):
     """OPT-1.3B decode: dense vs sparse-int8 (the flagship serving
     config), with XLA-reported HBM peaks."""
     import jax

@@ -92,15 +92,18 @@ def bench_decode(cfg, params, batch, prompt_len, max_len, steps,
     return batch * steps / best, mem
 
 
-def bench_train(cfg, params, batch, seq, iters=8):
-    """LoRA/sparse train-step tok/s (on-device scan) + compiled memory."""
+def bench_train(cfg, params, batch, seq, iters=8, frozen8=None):
+    """LoRA/sparse train-step tok/s (on-device scan) + compiled memory.
+    frozen8: int8-frozen-base collection (cfg.int8_base, already on
+    device) — closed over by the step as executable constants."""
     import numpy as np
 
     from spt_proto_tpu.tuning.partition import trainable_mask
     from spt_proto_tpu.tuning.trainer import (TrainState, make_optimizer,
                                               make_train_step)
     tx = make_optimizer(params)
-    step = make_train_step(cfg, tx, trainable=trainable_mask(params))
+    step = make_train_step(cfg, tx, trainable=trainable_mask(params),
+                           frozen8=frozen8)
     # params arrive as host (device_get'd) numpy trees — put the whole
     # state on device BEFORE timing, or every timed call re-uploads the
     # full parameter tree through the ~0.3 s/dispatch tunnel and the
@@ -146,6 +149,11 @@ def main():
                          'only way LLaMA-7B fits one 16 GB chip)')
     ap.add_argument('--train', action='store_true',
                     help='also measure the LoRA/sparse train step')
+    ap.add_argument('--train_int8_base', action='store_true',
+                    help='measure the int8-frozen-base (QLoRA-shape) SPT '
+                         'train step: base kernels int8 in HBM via the '
+                         'frozen8 collection (the only way a 7B base '
+                         'fits training on one 16 GB chip)')
     ap.add_argument('--train_batch', type=int, default=4)
     ap.add_argument('--train_seq', type=int, default=2048)
     ap.add_argument('--layers', type=int, default=None,
@@ -212,6 +220,20 @@ def main():
         tps, mem = bench_train(tcfg, tparams, args.train_batch,
                                args.train_seq)
         print(json.dumps({**out, 'bench': 'train_step_sparse_lora',
+                          'batch': args.train_batch, 'seq': args.train_seq,
+                          'tokens_per_sec': round(tps, 1),
+                          'hbm_gb': mem}), flush=True)
+    if args.train_int8_base:
+        tcfg, tparams = surgery.full_upgrade(
+            dcfg, params, jax.random.PRNGKey(2), d_lora=16,
+            ffn_block_size=dcfg.d_feedforward // 4)
+        tcfg = tcfg.replace(remat=True)
+        tcfg8, p_small, frozen8 = surgery.split_int8_base(tcfg, tparams,
+                                                          staged=True)
+        tps, mem = bench_train(tcfg8, jax.device_get(p_small),
+                               args.train_batch, args.train_seq,
+                               frozen8=frozen8)
+        print(json.dumps({**out, 'bench': 'train_step_int8_base',
                           'batch': args.train_batch, 'seq': args.train_seq,
                           'tokens_per_sec': round(tps, 1),
                           'hbm_gb': mem}), flush=True)

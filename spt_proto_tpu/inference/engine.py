@@ -832,10 +832,14 @@ def _decode_hidden(iw: InferenceWeights, tokens: jax.Array,
             and cfg.pq_metric == 'l2' \
             and cfg.d_model % 128 == 0 \
             and 'quantizer_bd' in mha_p:
-        if 'qkv' in mha_p and not isinstance(mha_p['qkv']['kernel'], dict):
-            use_front, front_w = True, 'stack'
-        elif 'q' in mha_p and not isinstance(mha_p['q']['kernel'], dict):
-            use_front, front_w = True, 'triple'
+        if 'qkv' in mha_p:
+            use_front = True
+            front_w = 'packed_int8' if isinstance(
+                mha_p['qkv']['kernel'], dict) else 'stack'
+        elif 'q' in mha_p:
+            use_front = True
+            front_w = 'triple_int8' if isinstance(
+                mha_p['q']['kernel'], dict) else 'triple'
     cos_b = sin_b = None
     if use_front and cfg.arch == 'llama':
         # RoPE tables at each slot's position, hoisted out of the layer
@@ -906,7 +910,7 @@ def _decode_hidden(iw: InferenceWeights, tokens: jax.Array,
         if use_front:
             from spt_proto_tpu.ops.pallas.decode_front import decode_front
             bmha = bp['mha']
-            if front_w == 'stack':
+            if front_w in ('stack', 'packed_int8'):
                 w_in = bmha['qkv']['kernel']
                 b_in = bmha['qkv'].get('bias')
             else:

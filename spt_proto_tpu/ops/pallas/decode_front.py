@@ -85,10 +85,12 @@ def _front_kernel(pos, base, *refs,
     x_ref = next(it)
     nsc_ref = next(it)
     nbi_ref = next(it) if arch == 'opt' else None
-    n_wrefs = 1 if w_form == 'stack' else 3
+    int8_w = w_form in ('packed_int8', 'triple_int8')
+    n_wrefs = 1 if w_form in ('stack', 'packed_int8') else 3
     w_refs = [next(it) for _ in range(n_wrefs)]
-    if w_form == 'stack':
+    if w_form in ('stack', 'packed_int8'):
         w_refs = w_refs * 3
+    s_ref = next(it) if int8_w else None    # [1, N] f32 dequant scales
     b_ref = next(it) if arch == 'opt' else None
     bd_ref = next(it)
     cbn_ref = next(it)
@@ -163,10 +165,16 @@ def _front_kernel(pos, base, *refs,
             c0 = j * cw
             sched.append((t, c0, min(cw, part_w[t] - c0)))
 
+    # packed int8 stores q|k|v column-concatenated: part t's columns
+    # start at the sum of the previous part widths
+    part_off = [0, part_w[0], part_w[0] + part_w[1]]
+
     def w_copy(idx, buf):
         t, c0, cw = sched[idx]
         if w_form == 'stack':
             src = w_refs[t].at[t, :, pl.ds(c0, cw)]
+        elif w_form == 'packed_int8':
+            src = w_refs[t].at[:, pl.ds(part_off[t] + c0, cw)]
         else:
             src = w_refs[t].at[:, pl.ds(c0, cw)]
         return pltpu.make_async_copy(
@@ -178,9 +186,20 @@ def _front_kernel(pos, base, *refs,
     for idx, (t, c0, cw) in enumerate(sched):
         w_copy(idx, idx % 2).wait()
         w = wbuf[idx % 2][:, pl.ds(0, cw)]
-        y = jax.lax.dot_general(
-            hn, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dtype)
+        if int8_w:
+            # int8_matmul semantics: bf16 dot, f32 accum, per-output-
+            # channel scale, then round to the serving dtype
+            acc = jax.lax.dot_general(
+                hn.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # scale_in is part-concatenated for both int8 forms
+            soff = part_off[t] + c0
+            y = (acc * s_ref[pl.ds(0, 1), pl.ds(soff, cw)]).astype(dtype)
+        else:
+            y = jax.lax.dot_general(
+                hn, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dtype)
         if arch == 'opt':
             y = y + b_ref[pl.ds(t, 1), pl.ds(c0, cw)].astype(dtype)
         out_refs[t][:, pl.ds(c0, cw)] = y
@@ -329,7 +348,25 @@ def decode_front(x, norm_scale, norm_bias, wqkv, bqkv, bd, cb_norm,
     b, d = x.shape
     _, kv, _, width, t = c_cache.shape
     rope = arch == 'llama'
-    if isinstance(wqkv, (tuple, list)):
+    scale_in = None
+    if isinstance(wqkv, dict):
+        # MHA int8: column-packed [D, 3D_pad] + scale [1, 3D]
+        w_form = 'packed_int8'
+        heads = kv
+        d_head = d // kv
+        w_ins = [wqkv['q']]
+        scale_in = wqkv['scale'].reshape(1, -1).astype(jnp.float32)
+    elif isinstance(wqkv, (tuple, list)) and isinstance(wqkv[0], dict):
+        # GQA int8: separate per-part dicts
+        w_form = 'triple_int8'
+        wq, wk, wv = wqkv
+        d_head = wk['scale'].shape[-1] // kv
+        heads = wq['scale'].shape[-1] // d_head
+        w_ins = [wq['q'], wk['q'], wv['q']]
+        scale_in = jnp.concatenate(
+            [t['scale'].reshape(-1) for t in (wq, wk, wv)]
+        ).reshape(1, -1).astype(jnp.float32)
+    elif isinstance(wqkv, (tuple, list)):
         w_form = 'triple'
         wq, wk, wv = wqkv
         d_head = wk.shape[1] // kv
@@ -344,7 +381,9 @@ def decode_front(x, norm_scale, norm_bias, wqkv, bqkv, bd, cb_norm,
     dtype = x.dtype
 
     # chunk policies (~4 MB per double-buffered half)
-    itemsize = jnp.dtype(dtype).itemsize
+    int8_w = w_form in ('packed_int8', 'triple_int8')
+    w_dtype = jnp.int8 if int8_w else dtype
+    itemsize = jnp.dtype(w_dtype).itemsize
     part_w = [heads * d_head, kv * d_head, kv * d_head]
     cw_max = max(128, (4 * 2**20 // (d * itemsize)) // 128 * 128)
     n_wchunks = tuple(max(1, -(-pw // cw_max)) for pw in part_w)
@@ -369,6 +408,9 @@ def decode_front(x, norm_scale, norm_bias, wqkv, bqkv, bd, cb_norm,
         inputs.append(norm_bias.reshape(1, -1))
     in_specs += [hbm] * len(w_ins)
     inputs += w_ins
+    if scale_in is not None:
+        in_specs.append(vspec(*scale_in.shape))
+        inputs.append(scale_in)
     if arch == 'opt':
         bq = bqkv
         if bq.shape[-1] != max(part_w):     # ragged part widths (GQA)
@@ -409,8 +451,8 @@ def decode_front(x, norm_scale, norm_bias, wqkv, bqkv, bd, cb_norm,
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((d, cw_buf), dtype),        # weight dbl-buf
-                pltpu.VMEM((d, cw_buf), dtype),
+                pltpu.VMEM((d, cw_buf), w_dtype),      # weight dbl-buf
+                pltpu.VMEM((d, cw_buf), w_dtype),
                 pltpu.VMEM((b, kv, ntc, width, t), jnp.int32),
                 pltpu.VMEM((b, kv, ntc, width, t), jnp.int32),
                 pltpu.VMEM((heads, b, n_sub), jnp.int32),

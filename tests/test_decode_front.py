@@ -177,3 +177,47 @@ def test_generate_fused_front_padded_code_width():
     out_f = np.asarray(generate(iw_f, p, 6, max_len=256))
     out_u = np.asarray(generate(iw_u, p, 6, max_len=256))
     np.testing.assert_array_equal(out_f, out_u)
+
+
+def test_generate_fused_front_int8_weights_matches_unfused():
+    """v2 envelope: int8 WEIGHT serving (the 7B w8 configuration) — the
+    front kernel streams the packed [D, 3D] int8 QKV with fused dequant.
+    At d_model=128 int8_matmul uses a single K block, so the fused dot's
+    accumulation matches and tokens are exact (at flagship d the two
+    chunk differently; near-tie code flips are tolerated there, same as
+    every int8-weight parity contract in this suite)."""
+    from spt_proto_tpu.inference.engine import generate
+    cfg, params = sparse_model()
+    iw_f = InferenceWeights.from_params(cfg, params, quant='int8',
+                                        staged=False, dtype=jnp.float32)
+    iw_u = InferenceWeights.from_params(
+        cfg.replace(decode_fused_front=False), params, quant='int8',
+        staged=False, dtype=jnp.float32)
+    assert isinstance(iw_f.params['blocks']['mha']['qkv']['kernel'], dict)
+    p = jax.random.randint(jax.random.PRNGKey(11), (2, 200), 0,
+                           cfg.vocab_size)
+    for q in (False, True):
+        out_f = np.asarray(generate(iw_f, p, 8, max_len=256,
+                                    quantized_kv=q))
+        out_u = np.asarray(generate(iw_u, p, 8, max_len=256,
+                                    quantized_kv=q))
+        np.testing.assert_array_equal(out_f, out_u)
+
+
+def test_generate_fused_front_int8_weights_llama():
+    """int8 weights + LLaMA RoPE through the fused front (the exact 7B
+    serving shape family)."""
+    from spt_proto_tpu.inference.engine import generate
+    cfg, params = sparse_model(arch='llama')
+    iw_f = InferenceWeights.from_params(cfg, params, quant='int8',
+                                        staged=False, dtype=jnp.float32)
+    iw_u = InferenceWeights.from_params(
+        cfg.replace(decode_fused_front=False), params, quant='int8',
+        staged=False, dtype=jnp.float32)
+    p = jax.random.randint(jax.random.PRNGKey(12), (2, 200), 0,
+                           cfg.vocab_size)
+    out_f = np.asarray(generate(iw_f, p, 8, max_len=256,
+                                quantized_kv=True))
+    out_u = np.asarray(generate(iw_u, p, 8, max_len=256,
+                                quantized_kv=True))
+    np.testing.assert_array_equal(out_f, out_u)
