@@ -146,7 +146,10 @@ def main():
     ap.add_argument('--steps', type=int, default=32)
     ap.add_argument('--modes', default='dense,sparse,sparse_int8',
                     help='also: sparse_w8 (int8 WEIGHTS + int8 KV — the '
-                         'only way LLaMA-7B fits one 16 GB chip)')
+                         'only way LLaMA-7B fits one 16 GB chip); '
+                         'sparse_routed (the FULL SPT serving config: '
+                         'routed FFN + folded-coeff LoRA + PQ attention '
+                         '— VERDICT r4 item 9)')
     ap.add_argument('--train', action='store_true',
                     help='also measure the LoRA/sparse train step')
     ap.add_argument('--train_int8_base', action='store_true',
@@ -187,16 +190,26 @@ def main():
     sparams = jax.device_get(sparams)
 
     modes = [m for m in args.modes.split(',') if m]
+    if 'sparse_routed' in modes:
+        # full SPT serving: LoRA + routed FFN + PQ attention (the
+        # reference's complete 4-stage pipeline served as-is)
+        rcfg, rparams = surgery.full_upgrade(
+            dcfg, params, jax.random.PRNGKey(2), d_lora=16,
+            ffn_block_size=dcfg.d_feedforward // 4)
+        rparams = jax.device_get(rparams)
     out = {'size': args.size, 'd_head': dcfg.d_model // dcfg.n_heads,
            'n_layers': dcfg.n_layers, 'batch': args.batch, 'ctx': args.ctx}
     results = {}
     for mode in modes:
-        cfg_m, p_m, q, w8 = {
+        menu = {
             'dense': (dcfg, params, False, None),
             'sparse': (scfg, sparams, False, None),
             'sparse_int8': (scfg, sparams, True, None),
             'sparse_w8': (scfg, sparams, True, 'int8'),
-        }[mode]
+        }
+        if 'sparse_routed' in modes:
+            menu['sparse_routed'] = (rcfg, rparams, True, None)
+        cfg_m, p_m, q, w8 = menu[mode]
         tps, mem = bench_decode(cfg_m, p_m, args.batch, args.ctx, max_len,
                                 args.steps, quantized_kv=q, quant=w8)
         results[mode] = tps

@@ -1134,31 +1134,32 @@ def verify_step(iw: InferenceWeights, tokens: jax.Array,
         """Per-query decode tile selection over the (code-inserted) layer
         codes: keep [B, N_TAB, K, NT] bool — cur_j's tile always, plus
         the top nsel-1 FULL tiles by group-pooled match mean (the exact
-        decode_step rule, jax.lax.top_k tie-breaking included)."""
-        keep_j = []
+        decode_step rule, jax.lax.top_k tie-breaking included).
+        Vectorized over all K query columns in one compare+top_k (the
+        per-query Python loop was K-for-1 glue in the verify step)."""
         c_lt = c_li[:, :, :, :cfg.n_subspaces]   # true-width codes
-        for j in range(kk):
-            cq = codes_q[:, :, :, j]                      # [B,KV,G,n_sub]
-            match = jnp.sum(
-                (c_lt[:, :, None] == cq[:, :, :, None, :, None]
-                 ).astype(jnp.float32), axis=4)           # [B,KV,G,NT,T]
-            tsc = match.mean(axis=(2, 4))                 # [B, KV, NT]
-            if gsel > 1:
-                tsc = tsc.reshape(b, n_tab, gsel, nt).mean(2)
-            cur_j = tile_r[:, j]                          # [B]
-            full_t = jnp.arange(nt)[None, :] < cur_j[:, None]
-            tsc = jnp.where(full_t[:, None], tsc, -jnp.inf)
-            sel = jnp.zeros((b, n_tab, nt), bool)
-            if nsel > 1:
-                svals, sidx = jax.lax.top_k(tsc, nsel - 1)
-                oh = ((jnp.arange(nt)[None, None, None]
-                       == sidx[..., None])
-                      & (svals > -jnp.inf)[..., None])
-                sel = oh.any(axis=2)
-            sel = sel | (jnp.arange(nt)[None, None]
-                         == cur_j[:, None, None])
-            keep_j.append(sel)
-        return jnp.stack(keep_j, axis=2)                  # [B,n_tab,K,NT]
+        # [B,KV,G,K,n_sub] vs [B,KV,NT,ns,T] -> match [B,KV,G,K,NT,T]
+        match = jnp.sum(
+            (c_lt[:, :, None, None] ==
+             codes_q[:, :, :, :, None, :, None]
+             ).astype(jnp.float32), axis=5)                # [B,KV,G,K,NT,T]
+        tsc = match.mean(axis=(2, 5))                      # [B, KV, K, NT]
+        if gsel > 1:
+            tsc = tsc.reshape(b, n_tab, gsel, kk, nt).mean(2)
+        cur_j = tile_r                                     # [B, K]
+        full_t = (jnp.arange(nt)[None, None, :]
+                  < cur_j[:, :, None])                     # [B, K, NT]
+        tsc = jnp.where(full_t[:, None], tsc, -jnp.inf)
+        sel = jnp.zeros((b, n_tab, kk, nt), bool)
+        if nsel > 1:
+            svals, sidx = jax.lax.top_k(tsc, nsel - 1)
+            oh = ((jnp.arange(nt)[None, None, None, None]
+                   == sidx[..., None])
+                  & (svals > -jnp.inf)[..., None])
+            sel = oh.any(axis=3)
+        sel = sel | (jnp.arange(nt)[None, None, None]
+                     == cur_j[:, None, :, None])
+        return sel                                        # [B,n_tab,K,NT]
 
     def layer(carry, inp):
         x, kc, vc, cc, ksc, vsc = carry
