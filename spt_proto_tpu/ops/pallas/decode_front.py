@@ -295,8 +295,16 @@ def _front_kernel(pos, base, *refs,
             eq = (sl == qg[:, :, None, :, None]).astype(jnp.float32)
             part = jnp.sum(eq, axis=3)                     # [B, KV, cw, T]
             msum = part if msum is None else msum + part
-        tsc_ref[:, :, pl.ds(c0, cw)] = jnp.sum(msum, axis=-1) \
-            * (1.0 / (ps * g))
+        if cw == 1:
+            # Mosaic cannot lower a reduction whose OUTPUT has a size-1
+            # minor dim (vector<BxKVx1> — seen at flagship KV counts
+            # where the slab chunk is one tile); reduce to rank-2 and
+            # store the broadcast column instead
+            tsc_ref[:, :, pl.ds(c0, 1)] = (
+                jnp.sum(msum, axis=(2, 3)) * (1.0 / (ps * g)))[:, :, None]
+        else:
+            tsc_ref[:, :, pl.ds(c0, cw)] = jnp.sum(msum, axis=-1) \
+                * (1.0 / (ps * g))
         # prefetch chunk i+2 only AFTER chunk i's buffer is consumed
         if i + 2 < n_schunks:
             slab_copy(i + 2).start()
@@ -380,16 +388,19 @@ def decode_front(x, norm_scale, norm_bias, wqkv, bqkv, bd, cb_norm,
     n_code = bd.shape[1] // n_sub
     dtype = x.dtype
 
-    # chunk policies (~4 MB per double-buffered half)
+    # chunk policies: ~2.5 MB per double-buffered half — the scoped-VMEM
+    # limit is 16 MB and Mosaic's own staging rides on top (a 4 MB
+    # budget overran by ~0.3 MB at d_model 2048)
     int8_w = w_form in ('packed_int8', 'triple_int8')
     w_dtype = jnp.int8 if int8_w else dtype
     itemsize = jnp.dtype(w_dtype).itemsize
     part_w = [heads * d_head, kv * d_head, kv * d_head]
-    cw_max = max(128, (4 * 2**20 // (d * itemsize)) // 128 * 128)
+    budget = 5 * 2**19
+    cw_max = max(128, (budget // (d * itemsize)) // 128 * 128)
     n_wchunks = tuple(max(1, -(-pw // cw_max)) for pw in part_w)
     cw_buf = max(-(-pw // nc) for pw, nc in zip(part_w, n_wchunks))
     slab_tile = b * kv * width * t * 4
-    ntc = min(nt, max(1, (4 * 2**20) // slab_tile))
+    ntc = min(nt, max(1, budget // slab_tile))
 
     kern = functools.partial(
         _front_kernel, kv=kv, heads=heads, d_head=d_head, n_sub=n_sub,
