@@ -1,0 +1,96 @@
+"""On-chip token-parity probe: fused decode front vs unfused engine path
+at FLAGSHIP shapes (truncated depth), greedy decode.
+
+The interpret-mode pytest suite proves numerics; it cannot prove Mosaic
+LOWERING at real shapes (e.g. the single-tile slab-chunk reduction that
+only appears when B*KV*w*T exceeds the chunk budget — ntc=1 at OPT-1.3B
+B=8). This probe runs the real kernels on whatever backend is active and
+compares greedy tokens step-for-step.
+
+Parity contract (docs/PERF.md round-5): int8-KV and LLaMA paths are
+token-exact; pure-bf16 OPT may flip on norm-stat ULP ties (reduction-tree
+order differs between Mosaic and XLA fusions), so bf16 rows report the
+match fraction instead of asserting.
+
+Usage:
+  python benchmarks/parity_probe.py --size 1.3b --layers 2 --batch 8 \
+      --ctx 2048 --steps 8 [--modes int8,bf16]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--size', default='1.3b')
+    ap.add_argument('--layers', type=int, default=2)
+    ap.add_argument('--batch', type=int, default=8)
+    ap.add_argument('--ctx', type=int, default=2048)
+    ap.add_argument('--steps', type=int, default=8)
+    ap.add_argument('--modes', default='int8,bf16')
+    ap.add_argument('--quant', default=None, choices=[None, 'int8'],
+                    help='int8 WEIGHTS (the 7B serving form)')
+    args = ap.parse_args()
+
+    from spt_proto_tpu.config import llama_config, opt_config
+    from spt_proto_tpu.inference.engine import generate
+    from spt_proto_tpu.inference.weights import InferenceWeights
+    from spt_proto_tpu.tuning import surgery
+
+    on_tpu = jax.devices()[0].platform == 'tpu'
+    kw = dict(dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+              param_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+              attn_impl='pallas' if on_tpu else 'ref',
+              pq_metric='l2' if on_tpu else 'l1',
+              max_length=args.ctx + 128, n_layers=args.layers)
+    if args.size.startswith('llama-'):
+        cfg = llama_config(args.size[len('llama-'):], **kw)
+    else:
+        cfg = opt_config(args.size, **kw)
+    params = jax.device_get(surgery.init_params(cfg, jax.random.PRNGKey(0)))
+    cfg, params = surgery.upgrade(cfg, params, 'mha_v1',
+                                  jax.random.PRNGKey(1))
+    cfg, params = surgery.upgrade(cfg, params, 'mha_v2',
+                                  jax.random.PRNGKey(2))
+    params = jax.device_get(params)
+
+    iw_f = InferenceWeights.from_params(cfg, params, quant=args.quant)
+    iw_u = InferenceWeights.from_params(
+        cfg.replace(decode_fused_front=False), params, quant=args.quant)
+    rng = np.random.RandomState(0)
+    prompts = jnp.asarray(
+        rng.randint(1, cfg.vocab_size, size=(args.batch, args.ctx)),
+        jnp.int32)
+    fail = 0
+    for mode in [m for m in args.modes.split(',') if m]:
+        q = mode == 'int8'
+        out_f = np.asarray(generate(iw_f, prompts, args.steps,
+                                    max_len=args.ctx + 128,
+                                    quantized_kv=q))
+        out_u = np.asarray(generate(iw_u, prompts, args.steps,
+                                    max_len=args.ctx + 128,
+                                    quantized_kv=q))
+        match = float((out_f == out_u).mean())
+        rec = {'size': args.size, 'layers': args.layers,
+               'batch': args.batch, 'ctx': args.ctx, 'mode': mode,
+               'quant': args.quant, 'match': round(match, 4),
+               'exact': bool(match == 1.0)}
+        print(json.dumps(rec), flush=True)
+        if q and match < 1.0:
+            fail = 1          # int8-KV must be token-exact (contract)
+    sys.exit(fail)
+
+
+if __name__ == '__main__':
+    main()

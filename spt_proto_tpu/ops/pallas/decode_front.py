@@ -293,15 +293,20 @@ def _front_kernel(pos, base, *refs,
             # group member g_ of kv head j is query head j*g + g_
             qg = qc[:, g_::g] if g > 1 else qc             # [B, kv, ns]
             eq = (sl == qg[:, :, None, :, None]).astype(jnp.float32)
-            part = jnp.sum(eq, axis=3)                     # [B, KV, cw, T]
+            # single-tile chunks defer BOTH reductions (see below);
+            # multi-tile chunks reduce the subspace dim here
+            part = eq if cw == 1 else jnp.sum(eq, axis=3)  # [B, KV, cw, T]
             msum = part if msum is None else msum + part
         if cw == 1:
-            # Mosaic cannot lower a reduction whose OUTPUT has a size-1
-            # minor dim (vector<BxKVx1> — seen at flagship KV counts
-            # where the slab chunk is one tile); reduce to rank-2 and
-            # store the broadcast column instead
+            # Mosaic's reduction envelope at size-1 chunk width: a
+            # single-trailing-dim reduce to a size-1 minor output
+            # ([B,KV,1,T] -> [B,KV,1]) fails, and a both-trailing-dims
+            # reduce to a rank-2 output ([B,KV,1,T] -(2,3)-> [B,KV])
+            # fails too — but a both-trailing-dims reduce WHOSE RESULT
+            # KEEPS a size-1 minor dim is the supported form. So keep
+            # msum rank-5 and reduce (w, T) at once -> [B, KV, 1].
             tsc_ref[:, :, pl.ds(c0, 1)] = (
-                jnp.sum(msum, axis=(2, 3)) * (1.0 / (ps * g)))[:, :, None]
+                jnp.sum(msum, axis=(3, 4)) * (1.0 / (ps * g)))
         else:
             tsc_ref[:, :, pl.ds(c0, cw)] = jnp.sum(msum, axis=-1) \
                 * (1.0 / (ps * g))
