@@ -1,7 +1,11 @@
 """Grid (B,) kernel vs multi-slot single-program kernel, on-chip, one
-process back-to-back. Bench config mirror: OPT-125M sparse decode shapes
-(B=8, kv=12, g=1, d=64, ps=128, sparse nsel=3 tables) and dense ctx-2048
-supertile tables (tps=4, t_max=4), folded-layer pools (12 layers)."""
+process back-to-back. Default config mirrors bench.py: OPT-125M sparse
+decode shapes (B=8, kv=12, g=1, d=64, ps=128, sparse nsel=3 tables) and
+dense ctx-2048 supertile tables (tps=4, t_max=4), folded-layer pools
+(12 layers). --size 1.3b measures the flagship-shape envelope (VERDICT
+r4 item 10) at the admissible multi-slot batch: the SMEM unroll cap
+(b*kv*t_max <= 512) excludes B=8 x KV=32, so that row runs B=4."""
+import argparse
 import time
 
 import jax
@@ -12,10 +16,19 @@ assert jax.devices()[0].platform == 'tpu'
 from spt_proto_tpu.ops.pallas.decode_attention import (
     decode_attention_rows, decode_attention_rows_ms)
 
-B, KV, G, D, PS, L = 8, 12, 1, 64, 128, 12
+ap = argparse.ArgumentParser()
+ap.add_argument('--size', default='125m', choices=['125m', '1.3b'])
+ap.add_argument('--iters', type=int, default=64)
+_a = ap.parse_args()
+if _a.size == '1.3b':
+    # OPT-1.3B: 32 kv heads x d_head 64, 24 layers; B=4 is the largest
+    # batch the multi-slot SMEM unroll admits (4*32*4 = 512)
+    B, KV, G, D, PS, L = 4, 32, 1, 64, 128, 24
+else:
+    B, KV, G, D, PS, L = 8, 12, 1, 64, 128, 12
 CTX = 2048
 NT = CTX // PS          # tiles per layer
-ITERS = 64
+ITERS = _a.iters
 
 
 def setup(t_max, tps, sparse, ctx=CTX):
@@ -100,7 +113,7 @@ def setup_q(t_max, tps, sparse, ctx=CTX):
     k8, ks = _quantize_kv(kc.swapaxes(3, 4).astype(jnp.float32))
     v8, vs = _quantize_kv(vc.swapaxes(3, 4).astype(jnp.float32))
     k8, v8 = k8.swapaxes(3, 4), v8.swapaxes(3, 4)
-    kv_pad = 16  # KV=12 rounded to sublane tile
+    kv_pad = -(-KV // 8) * 8  # KV rounded to a sublane tile
     pad = lambda s: jnp.pad(s.transpose(0, 2, 1, 3),
                             ((0, 0), (0, 0), (0, kv_pad - KV), (0, 0)))
     kn8, ksn = _quantize_kv(k_new.astype(jnp.float32))
