@@ -160,10 +160,16 @@ def _front_kernel(pos, base, *refs,
     sched = []
     for t in range(3):
         nc = n_wchunks[t]
-        cw = -(-part_w[t] // nc)
+        # chunk width rounded UP to a lane tile: HBM memref slices must
+        # be 128-aligned in offset and width (int8 tiling (8,128)(4,1) —
+        # ceil(4096/7)=586 at LLaMA-7B w8 failed Mosaic lowering), and
+        # ceil-div alone does not preserve that. Rounding up never
+        # exceeds the wrapper's cw_max (itself a 128 multiple).
+        cw = (-(-part_w[t] // nc) + 127) // 128 * 128
         for j in range(nc):
             c0 = j * cw
-            sched.append((t, c0, min(cw, part_w[t] - c0)))
+            if c0 < part_w[t]:
+                sched.append((t, c0, min(cw, part_w[t] - c0)))
 
     # packed int8 stores q|k|v column-concatenated: part t's columns
     # start at the sum of the previous part widths
@@ -187,12 +193,25 @@ def _front_kernel(pos, base, *refs,
         w_copy(idx, idx % 2).wait()
         w = wbuf[idx % 2][:, pl.ds(0, cw)]
         if int8_w:
-            # int8_matmul semantics: bf16 dot, f32 accum, per-output-
-            # channel scale, then round to the serving dtype
-            acc = jax.lax.dot_general(
-                hn.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            # int8_matmul semantics BIT-FOR-BIT: bf16 dot with f32
+            # partials accumulated per K block in ascending order
+            # (skinny-m rule: block_k 256 when K%256==0 else 128), then
+            # one per-output-channel scale multiply, then round to the
+            # serving dtype. A single full-K dot accumulates in a
+            # different order and flips bf16 near-ties downstream
+            # (observed as greedy-token divergence vs the unfused
+            # int8_matmul path at LLaMA-7B w8).
+            dk = x_ref.shape[1]
+            bk = 256 if dk % 256 == 0 else 128
+            hnb = hn.astype(jnp.bfloat16)
+            wb = w.astype(jnp.bfloat16)
+            acc = None
+            for k0 in range(0, dk, bk):
+                part = jax.lax.dot_general(
+                    hnb[:, k0:k0 + bk], wb[k0:k0 + bk, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
             # scale_in is part-concatenated for both int8 forms
             soff = part_off[t] + c0
             y = (acc * s_ref[pl.ds(0, 1), pl.ds(soff, cw)]).astype(dtype)
@@ -403,7 +422,9 @@ def decode_front(x, norm_scale, norm_bias, wqkv, bqkv, bd, cb_norm,
     budget = 5 * 2**19
     cw_max = max(128, (budget // (d * itemsize)) // 128 * 128)
     n_wchunks = tuple(max(1, -(-pw // cw_max)) for pw in part_w)
-    cw_buf = max(-(-pw // nc) for pw, nc in zip(part_w, n_wchunks))
+    # must mirror the kernel's 128-aligned chunk rounding
+    cw_buf = max((-(-pw // nc) + 127) // 128 * 128
+                 for pw, nc in zip(part_w, n_wchunks))
     slab_tile = b * kv * width * t * 4
     ntc = min(nt, max(1, budget // slab_tile))
 
