@@ -95,15 +95,15 @@ def bench_decode(cfg, params, batch, prompt_len, max_len, steps,
 def bench_train(cfg, params, batch, seq, iters=8, frozen8=None):
     """LoRA/sparse train-step tok/s (on-device scan) + compiled memory.
     frozen8: int8-frozen-base collection (cfg.int8_base, already on
-    device) — closed over by the step as executable constants."""
+    device) — passed as a RUNTIME argument: baked as jit constants a 7B
+    base is a 6.5 GB compile payload, which breaks remote compile."""
     import numpy as np
 
     from spt_proto_tpu.tuning.partition import trainable_mask
     from spt_proto_tpu.tuning.trainer import (TrainState, make_optimizer,
                                               make_train_step)
     tx = make_optimizer(params)
-    step = make_train_step(cfg, tx, trainable=trainable_mask(params),
-                           frozen8=frozen8)
+    step = make_train_step(cfg, tx, trainable=trainable_mask(params))
     # params arrive as host (device_get'd) numpy trees — put the whole
     # state on device BEFORE timing, or every timed call re-uploads the
     # full parameter tree through the ~0.3 s/dispatch tunnel and the
@@ -118,21 +118,21 @@ def bench_train(cfg, params, batch, seq, iters=8, frozen8=None):
         'targets': jnp.asarray(rng.randint(0, cfg.vocab_size, (batch, seq)),
                                jnp.int32)}
 
-    def loop(state, batch):
+    def loop(state, batch, f8):
         def body(st, _):
-            st, m = step(st, batch)
+            st, m = step(st, batch, f8)
             return st, m['loss']
         st, losses = jax.lax.scan(body, state, None, length=iters)
         return losses[-1]
 
     # no donate: the loop returns only the loss scalar, so the state
     # could never alias an output (donation would just warn)
-    compiled = jax.jit(loop).lower(state, batch_d).compile()
+    compiled = jax.jit(loop).lower(state, batch_d, frozen8).compile()
     mem = _mem_gb(compiled)
-    l0 = float(compiled(state, batch_d))
+    l0 = float(compiled(state, batch_d, frozen8))
     assert l0 == l0, 'NaN loss'
     t0 = time.perf_counter()
-    float(compiled(state, batch_d))
+    float(compiled(state, batch_d, frozen8))
     dt = (time.perf_counter() - t0) / iters
     return batch * seq / dt, mem
 

@@ -158,35 +158,40 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
         from spt_proto_tpu.utils.tree import unflatten
         return unflatten({**train_flat, **frozen_flat})
 
-    def _forward(params, batch, step):
+    def _forward(params, batch, step, f8):
         rngs = None
         if use_dropout:
             rngs = {'dropout': jax.random.fold_in(base_rng, step)}
         variables = {'params': params}
-        if frozen8 is not None:
+        if f8 is not None:
             # cfg.int8_base: the frozen int8 base kernels ride a separate
-            # collection (closed over => never differentiated, resident
-            # once as executable constants)
-            variables['frozen8'] = frozen8
+            # collection (never differentiated). Pass it to train_step as
+            # the THIRD argument at scale: closed-over device trees become
+            # executable CONSTANTS under jit, and a 7B frozen base (6.5 GB)
+            # baked into the program breaks the remote-compile payload.
+            # The make-time kwarg remains as a closure fallback for small
+            # models / existing callers.
+            variables['frozen8'] = f8
         out = model.apply(variables, batch['inputs'], rngs=rngs)
         ce = lm_loss(out['logits'], batch['targets'], batch.get('mask'))
         loss = ce + aux_coeff * out['pq_loss']
         return loss, {'ce': ce, 'pq_loss': out['pq_loss']}
 
-    def grad_fn(params, batch, step):
+    def grad_fn(params, batch, step, f8):
         if flat_mask is None:
             (loss, metrics), grads = jax.value_and_grad(
-                _forward, has_aux=True)(params, batch, step)
+                _forward, has_aux=True)(params, batch, step, f8)
         else:
             train_flat, frozen_flat = _split(params)
             (loss, metrics), g_train = jax.value_and_grad(
                 lambda t: _forward(_merge(t, frozen_flat), batch,
-                                   step), has_aux=True)(train_flat)
+                                   step, f8), has_aux=True)(train_flat)
             zeros = {k: jnp.zeros_like(v) for k, v in frozen_flat.items()}
             grads = _merge(g_train, zeros)
         return loss, metrics, grads
 
-    def train_step(state: TrainState, batch):
+    def train_step(state: TrainState, batch, frozen8_arg=None):
+        f8 = frozen8_arg if frozen8_arg is not None else frozen8
         if accumulate > 1:
             # batch arrives flat [A*B, ...] (single device) or already
             # micro-shaped [A, B, ...] (mesh path: train_loop reshapes
@@ -198,7 +203,7 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
                 batch)
 
             def body(acc, mb):
-                out = grad_fn(state.params, mb, state.step)
+                out = grad_fn(state.params, mb, state.step, f8)
                 return jax.tree.map(jnp.add, acc, out), None
 
             init = (jnp.zeros((), jnp.float32),
@@ -213,7 +218,8 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
             grads = jax.tree.map(lambda g, p: g.astype(p.dtype),
                                  grads, state.params)
         else:
-            loss, metrics, grads = grad_fn(state.params, batch, state.step)
+            loss, metrics, grads = grad_fn(state.params, batch,
+                                           state.step, f8)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics, loss=loss,
@@ -487,10 +493,12 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
             cfg, tx, mesh, n_micro=pp_micro, trainable=trainable,
             train_quantizer=tq)
     else:
+        # frozen8 is passed at CALL time (third step argument), not
+        # baked: a 7B int8 base closed over as constants is a 6.5 GB
+        # compile payload (breaks remote compile) and doubles staging
         mk = lambda tq: make_train_step(cfg, tx, trainable=trainable,
                                         train_quantizer=tq,
-                                        accumulate=accumulate,
-                                        frozen8=frozen8)
+                                        accumulate=accumulate)
     step_pq = jax.jit(mk(True), donate_argnums=(0,))
     step_fast = step_pq if pq_train_every == 1 else jax.jit(
         mk(False), donate_argnums=(0,))
@@ -522,7 +530,8 @@ def train_loop(cfg: ModelConfig, params: Any, batches: Iterable[dict], *,
                         sh = NamedSharding(mesh, P(None, 'data'))
                     batch = put_global_batch(batch, sh)
             fn = step_pq if i % pq_train_every == 0 else step_fast
-            state, metrics = fn(state, batch)
+            state, metrics = (fn(state, batch) if frozen8 is None
+                              else fn(state, batch, frozen8))
             if i % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 history.append((i, m))
